@@ -1,0 +1,91 @@
+"""Public CSPN op API with backend dispatch.
+
+Backends:
+    'pallas'    -- fused TPU kernel (all steps in VMEM, one HBM read/write).
+    'reference' -- pure jnp/lax.scan oracle (any backend, autodiff-native).
+    'auto'      -- pallas on TPU, reference elsewhere.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from cspn_tpu.ops import cspn_ref
+
+
+@functools.cache
+def _default_backend() -> str:
+    try:
+        platform = jax.devices()[0].platform
+    except RuntimeError:
+        platform = "cpu"
+    return "pallas" if platform == "tpu" else "reference"
+
+
+def _resolve(backend: str) -> str:
+    return _default_backend() if backend == "auto" else backend
+
+
+def cspn2d(
+    guidance: jnp.ndarray,
+    blur_depth: jnp.ndarray,
+    sparse_depth: jnp.ndarray | None = None,
+    *,
+    steps: int = 24,
+    norm_type: str = "8sum",
+    backend: str = "auto",
+) -> jnp.ndarray:
+    """2D CSPN post-process (pytorch reference semantics). See cspn_ref.cspn2d_reference."""
+    backend = _resolve(backend)
+    if backend == "pallas":
+        from cspn_tpu.ops import cspn_pallas
+
+        return cspn_pallas.cspn2d_pallas(
+            guidance, blur_depth, sparse_depth, steps=steps, norm_type=norm_type
+        )
+    if backend == "reference":
+        return cspn_ref.cspn2d_reference(
+            guidance, blur_depth, sparse_depth, steps=steps, norm_type=norm_type
+        )
+    raise ValueError(f"unknown backend {backend!r}")
+
+
+def affinity_propagate(
+    feat: jnp.ndarray,
+    gate_weight: jnp.ndarray,
+    kernel_size: int = 3,
+    *,
+    backend: str = "auto",
+) -> jnp.ndarray:
+    """One propagation step (paddle native-op semantics), 2D or 3D."""
+    # Single-step gather is fully fused by XLA already; the fused multi-step
+    # path lives in cspn_nd / cspn2d.  Kept as its own entry point for parity
+    # with paddle.fluid.layers.affinity_propagate.
+    del backend
+    return cspn_ref.affinity_propagate_reference(feat, gate_weight, kernel_size)
+
+
+def cspn_nd(
+    guide: jnp.ndarray,
+    feat: jnp.ndarray,
+    *,
+    kernel_size: int = 3,
+    steps: int = 24,
+    backend: str = "auto",
+) -> jnp.ndarray:
+    """Multi-step 2D/3D CSPN module (paddle demo semantics)."""
+    backend = _resolve(backend)
+    if backend == "pallas":
+        from cspn_tpu.ops import cspn_pallas
+
+        return cspn_pallas.cspn_nd_pallas(
+            guide, feat, kernel_size=kernel_size, steps=steps
+        )
+    if backend == "reference":
+        return cspn_ref.cspn_nd_reference(
+            guide, feat, kernel_size=kernel_size, steps=steps
+        )
+    raise ValueError(f"unknown backend {backend!r}")
