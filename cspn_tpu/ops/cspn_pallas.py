@@ -5,7 +5,7 @@ Design (TPU-first, see /opt/skills/guides/pallas_guide.md):
 The reference implements one propagation step as 8 zero-padded tensor shifts +
 a frozen sum-conv, re-reading the gates from main memory every one of the 24
 steps (cspn_pytorch/models/cspn.py:66-82).  On TPU that composition is
-HBM-bandwidth bound: ~24 x 10 channel-images of traffic.
+HBM-bandwidth bound: ~24 x 12 channel-images of HBM traffic.
 
 Here the *entire* post-process is one kernel invocation per image:
   - load guidance (8 planes), blur depth and sparse depth into VMEM once,
@@ -16,10 +16,21 @@ Here the *entire* post-process is one kernel invocation per image:
 HBM traffic ~= 1 read of (8+1+1) channels + 1 write of 1 channel -- the
 speed-of-light floor for this op.
 
+Cross-lane work is minimized: W is the TPU lane dimension, so +-1 shifts
+along W are expensive cross-lane permutes.  The gates are therefore stored
+*pre-unshifted* along W (G2_d[i, j] = ghat_d[i, j - dx_d]); each step then
+groups the 8 directions into three column groups and needs only TWO lane
+shifts total:
+
+    u_dx[i, j] = sum_dy G2_(dy,dx)[i, j] * x[i + dy, j]      (sublane offsets)
+    y = u_0 + shift_W(u_+1, +1) + shift_W(u_-1, -1) + (1 - gate_sum) * x0
+
+The depth state lives in an (H+2, W) scratch padded only along H (sublanes),
+so the three x[i+dy, :] reads are cheap sublane-offset slices.
+
 Layout: the kernel wants gate *planes* with (H, W) as the tiled trailing dims,
 so its guidance input is [N, 8, H, W] (channel-first).  `cspn2d_pallas`
-accepts that layout directly; model code transposes its NHWC affinity head
-output once before calling.
+accepts NHWC and transposes once; model code can pass channel_first=True.
 
 Gradients: `cspn2d_pallas` has a custom VJP.  The backward pass currently
 rematerializes through the jnp reference implementation (exact same math);
@@ -37,7 +48,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cspn_tpu.ops import cspn_ref
-from cspn_tpu.ops.neighbors import OFFSETS_2D_REFERENCE
+
+# Reference gate order (see ops/neighbors.py): offsets (dy, dx), gather form.
+_OFFS = ((1, 1), (1, 0), (1, -1), (0, 1), (0, -1), (-1, 1), (-1, 0), (-1, -1))
+# direction indices grouped by dx
+_BY_DX = {
+    1: [d for d, (_, dx) in enumerate(_OFFS) if dx == 1],
+    0: [d for d, (_, dx) in enumerate(_OFFS) if dx == 0],
+    -1: [d for d, (_, dx) in enumerate(_OFFS) if dx == -1],
+}
 
 
 def _interpret_default() -> bool:
@@ -47,60 +66,92 @@ def _interpret_default() -> bool:
         return True
 
 
+def _shift_w(x: jnp.ndarray, dx: int) -> jnp.ndarray:
+    """y[..., j] = x[..., j + dx], zero fill (one cross-lane shift)."""
+    if dx == 0:
+        return x
+    zeros = jnp.zeros(x.shape[:-1] + (abs(dx),), x.dtype)
+    if dx > 0:
+        return jnp.concatenate([x[..., dx:], zeros], axis=-1)
+    return jnp.concatenate([zeros, x[..., :dx]], axis=-1)
+
+
 def _fwd_kernel(
     guid_ref,  # (1, 8, H, W) VMEM
     blur_ref,  # (1, H, W) VMEM
-    sparse_ref,  # (1, H, W) VMEM or None (absent when use_sparse=False)
+    sparse_ref,  # (1, H, W) VMEM or None
     out_ref,  # (1, H, W) VMEM
-    gates_ref,  # (8, H, W) VMEM scratch: normalized shifted gates
-    pad_ref,  # (H+2, W+2) VMEM scratch: shared zero-padded canvas
+    g2_ref,  # (8, H, W) VMEM scratch: normalized gates, lane-unshifted
+    xpad_ref,  # (H+2, W) VMEM scratch: depth state padded along H only
     *,
     steps: int,
     norm_abs: bool,
 ):
     h, w = out_ref.shape[1], out_ref.shape[2]
 
-    # --- normalized, pre-shifted gates (gather form of cspn.py:85-144) ---
-    pad_ref[:] = jnp.zeros_like(pad_ref)
-    denom = jnp.zeros((h, w), jnp.float32)
-    for d, (dy, dx) in enumerate(OFFSETS_2D_REFERENCE):
+    # --- B_d[i, j] = g_d[i + dy_d, j]: sublane shift only ---
+    xpad_ref[:] = jnp.zeros_like(xpad_ref)  # reused as padding canvas for gates
+    for d, (dy, _) in enumerate(_OFFS):
         g = guid_ref[0, d]
         if norm_abs:
             g = jnp.abs(g)
-        pad_ref[1 : h + 1, 1 : w + 1] = g
-        shifted = pad_ref[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
-        gates_ref[d] = shifted
-        denom = denom + jnp.abs(shifted)
+        xpad_ref[1 : h + 1, :] = g
+        g2_ref[d] = xpad_ref[1 + dy : 1 + dy + h, :]
 
+    # --- canvas normalizer A[i,j] = sum_d |B_d[i, j + dx_d]|: 2 lane shifts ---
+    col_abs = {
+        dx: sum(jnp.abs(g2_ref[d]) for d in ds) for dx, ds in _BY_DX.items()
+    }
+    denom = col_abs[0] + _shift_w(col_abs[1], 1) + _shift_w(col_abs[-1], -1)
     nonzero = denom > 0.0
-    inv = 1.0 / jnp.where(nonzero, denom, 1.0)
-    gate_sum = jnp.zeros((h, w), jnp.float32)
-    for d in range(8):
-        gd = jnp.where(nonzero, gates_ref[d] * inv, 0.0)
-        gates_ref[d] = gd
-        gate_sum = gate_sum + gd
+    inv = jnp.where(nonzero, 1.0 / jnp.where(nonzero, denom, 1.0), 0.0)
+    inv_by_dx = {0: inv, 1: _shift_w(inv, -1), -1: _shift_w(inv, 1)}
+
+    # --- G2_d[i,j] = B_d[i,j] * inv[i, j - dx_d]; gate_sum for center term ---
+    col_sum = {}
+    for dx, ds in _BY_DX.items():
+        acc = None
+        for d in ds:
+            g2 = g2_ref[d] * inv_by_dx[dx]
+            g2_ref[d] = g2
+            acc = g2 if acc is None else acc + g2
+        col_sum[dx] = acc
+    gate_sum = col_sum[0] + _shift_w(col_sum[1], 1) + _shift_w(col_sum[-1], -1)
 
     # --- propagation: `steps` stencil iterations entirely in VMEM ---
     x0 = blur_ref[0]
     center_x0 = (1.0 - gate_sum) * x0
     if sparse_ref is not None:
         mask = jnp.sign(sparse_ref[0])
-        keep = 1.0 - mask
-        anchor = mask * x0
-    pad_ref[:] = jnp.zeros_like(pad_ref)
-    pad_ref[1 : h + 1, 1 : w + 1] = x0
+        keep_x = 1.0 - mask
+        base = keep_x * center_x0 + mask * x0
+    else:
+        keep_x = None
+        base = center_x0
+    xpad_ref[:] = jnp.zeros_like(xpad_ref)
+    xpad_ref[1 : h + 1, :] = x0
 
+    # per-step: 8 FMA planes, 2 lane shifts, 3 sublane-offset reads
     def body(_, carry):
-        y = center_x0
-        for d, (dy, dx) in enumerate(OFFSETS_2D_REFERENCE):
-            y = y + gates_ref[d] * pad_ref[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
-        if sparse_ref is not None:
-            y = keep * y + anchor
-        pad_ref[1 : h + 1, 1 : w + 1] = y
+        rows = {dy: xpad_ref[1 + dy : 1 + dy + h, :] for dy in (-1, 0, 1)}
+        u = {
+            dx: sum(g2_ref[d] * rows[_OFFS[d][0]] for d in ds)
+            for dx, ds in _BY_DX.items()
+        }
+        y = u[0] + _shift_w(u[1], 1) + _shift_w(u[-1], -1)
+        if keep_x is not None:
+            y = keep_x * y + base
+        else:
+            y = y + base
+        xpad_ref[1 : h + 1, :] = y
         return carry
 
     lax.fori_loop(0, steps, body, 0, unroll=False)
-    out_ref[0] = pad_ref[1 : h + 1, 1 : w + 1]
+    out_ref[0] = xpad_ref[1 : h + 1, :]
+
+
+def _fwd_kernel_nosparse(guid_ref, blur_ref, out_ref, g2_ref, xpad_ref, **kw):
+    _fwd_kernel(guid_ref, blur_ref, None, out_ref, g2_ref, xpad_ref, **kw)
 
 
 def _cspn2d_pallas_impl(
@@ -127,6 +178,7 @@ def _cspn2d_pallas_impl(
     if use_sparse:
         in_specs.append(img_spec)
         args.append(sparse_depth.astype(jnp.float32))
+    flops_step = 8 * 2 * h * w
     return pl.pallas_call(
         kernel,
         grid=(n,),
@@ -135,14 +187,15 @@ def _cspn2d_pallas_impl(
         out_specs=img_spec,
         scratch_shapes=[
             pltpu.VMEM((8, h, w), jnp.float32),
-            pltpu.VMEM((h + 2, w + 2), jnp.float32),
+            pltpu.VMEM((h + 2, w), jnp.float32),
         ],
+        cost_estimate=pl.CostEstimate(
+            flops=n * steps * flops_step,
+            bytes_accessed=n * (8 + 1 + 1 + 1) * h * w * 4,
+            transcendentals=0,
+        ),
         interpret=interpret,
     )(*args)
-
-
-def _fwd_kernel_nosparse(guid_ref, blur_ref, out_ref, gates_ref, pad_ref, **kw):
-    _fwd_kernel(guid_ref, blur_ref, None, out_ref, gates_ref, pad_ref, **kw)
 
 
 # --- custom VJP: pallas forward, reference-rematerialized backward ---------
