@@ -1,0 +1,160 @@
+"""ResNet encoder for depth completion (reference L1 layer).
+
+Flax/NHWC re-implementation of the encoder half of
+cspn_pytorch/models/torch_resnet_cspn_nyu.py:
+  - 4-channel RGBD stem: 7x7/s2 conv (torch_resnet_cspn_nyu.py:287),
+  - BasicBlock (expansion 1, :56-85) and Bottleneck (expansion 4, :88-124),
+  - stages layer1..layer4 (:292-295) with 1x1 strided downsample shortcuts
+    (:321-336),
+  - extra bottleneck conv2+bn2 at the end (:297-299, note: no ReLU, :366).
+
+The encoder returns the skip maps the decoder consumes (forward :352-366):
+  skip4 = stem conv output *before* BN/ReLU (:352-353),
+  skip3 = layer1 output (:358-359), skip2 = layer2 output (:361-362).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm matching torch defaults (eps 1e-5, momentum 0.1)."""
+
+    use_running_average: bool
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.BatchNorm(
+            use_running_average=self.use_running_average,
+            momentum=0.9,
+            epsilon=1e-5,
+            axis_name=self.axis_name,
+        )(x)
+
+
+def conv(features: int, kernel: int, stride: int = 1, name: str | None = None):
+    """Bias-free conv with torch-style symmetric padding."""
+    pad = (kernel - 1) // 2
+    return nn.Conv(
+        features,
+        (kernel, kernel),
+        strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)),
+        use_bias=False,
+        kernel_init=nn.initializers.he_normal(),
+        name=name,
+    )
+
+
+class BasicBlock(nn.Module):
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    train: bool = False
+    axis_name: str | None = None
+    expansion: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        out = conv(self.planes, 3, self.stride, name="conv1")(x)
+        out = BatchNorm(not self.train, self.axis_name, name="bn1")(out)
+        out = nn.relu(out)
+        out = conv(self.planes, 3, name="conv2")(out)
+        out = BatchNorm(not self.train, self.axis_name, name="bn2")(out)
+        if self.downsample:
+            residual = conv(self.planes, 1, self.stride, name="ds_conv")(x)
+            residual = BatchNorm(not self.train, self.axis_name, name="ds_bn")(residual)
+        return nn.relu(out + residual)
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    train: bool = False
+    axis_name: str | None = None
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        out = conv(self.planes, 1, name="conv1")(x)
+        out = BatchNorm(not self.train, self.axis_name, name="bn1")(out)
+        out = nn.relu(out)
+        out = conv(self.planes, 3, self.stride, name="conv2")(out)
+        out = BatchNorm(not self.train, self.axis_name, name="bn2")(out)
+        out = nn.relu(out)
+        out = conv(self.planes * 4, 1, name="conv3")(out)
+        out = BatchNorm(not self.train, self.axis_name, name="bn3")(out)
+        if self.downsample:
+            residual = conv(self.planes * 4, 1, self.stride, name="ds_conv")(x)
+            residual = BatchNorm(not self.train, self.axis_name, name="ds_bn")(residual)
+        return nn.relu(out + residual)
+
+
+_BLOCKS = {"basic": BasicBlock, "bottleneck": Bottleneck}
+
+
+class ResNetEncoder(nn.Module):
+    """Encoder trunk. Returns (bottleneck, skips dict)."""
+
+    block: str = "bottleneck"  # 'basic' | 'bottleneck'
+    layers: Sequence[int] = (3, 4, 6, 3)
+    in_stem_features: int = 64
+    train: bool = False
+    axis_name: str | None = None
+
+    @property
+    def expansion(self) -> int:
+        return 4 if self.block == "bottleneck" else 1
+
+    @nn.compact
+    def __call__(self, x):
+        block_cls = _BLOCKS[self.block]
+        skips: dict[str, Any] = {}
+        x = nn.Conv(
+            self.in_stem_features,
+            (7, 7),
+            strides=(2, 2),
+            padding=((3, 3), (3, 3)),
+            use_bias=False,
+            kernel_init=nn.initializers.he_normal(),
+            name="conv1_1",
+        )(x)
+        skips["skip4"] = x  # pre-BN stem output (reference forward :352-353)
+        x = BatchNorm(not self.train, self.axis_name, name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        inplanes = self.in_stem_features
+        for stage, (planes, n_blocks, stride) in enumerate(
+            zip((64, 128, 256, 512), self.layers, (1, 2, 2, 2))
+        ):
+            for b in range(n_blocks):
+                s = stride if b == 0 else 1
+                need_ds = b == 0 and (s != 1 or inplanes != planes * self.expansion)
+                x = block_cls(
+                    planes,
+                    stride=s,
+                    downsample=need_ds,
+                    train=self.train,
+                    axis_name=self.axis_name,
+                    name=f"layer{stage + 1}_{b}",
+                )(x)
+                inplanes = planes * self.expansion
+            if stage == 0:
+                skips["skip3"] = x
+            elif stage == 1:
+                skips["skip2"] = x
+
+        # trailing conv2+bn2, no ReLU (reference :297-299, :366)
+        x = conv(512 * self.expansion, 3, name="conv2")(x)
+        x = BatchNorm(not self.train, self.axis_name, name="bn2")(x)
+        return x, skips

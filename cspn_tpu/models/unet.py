@@ -1,0 +1,134 @@
+"""ResNet-UNet depth completion models with CSPN post-processing.
+
+NHWC re-implementation of cspn_pytorch/models/torch_resnet_cspn_nyu.py's
+`ResNet` (:278-376) with:
+  - geometry derived from the input shape (the reference hard-codes the NYU
+    228x304 pyramid at :314-319; KITTI crops use the same ceil-halving chain),
+  - the CSPN post-process running through the fused Pallas kernel on TPU,
+  - a no-CSPN baseline variant covering the reference's missing
+    `torch_resnet`/`base_model` (train.py:75, models/__init__.py:1-2),
+  - resnet18-trunk constructors covering the missing
+    `torch_resnet_cspn_kitti` (train.py:73,146-147).
+
+Input: [N, H, W, 4] RGBD; channel 3 is the sparse depth used for anchoring
+(reference forward :351).  Output: [N, H, W] dense depth.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from cspn_tpu.models.decoder import GudiUpConvLast, GudiUpProj, GudiUpProjCat
+from cspn_tpu.models.resnet import ResNetEncoder
+from cspn_tpu.ops.cspn import cspn2d
+
+
+def ceil_half_chain(h: int, w: int, n: int = 5) -> list[tuple[int, int]]:
+    """Feature-map sizes [(H,W), (H/2,W/2), ...] using the encoder's
+    ceil-halving (7x7/s2 conv, 3x3/s2 pool, 3x3/s2 convs all give ceil(n/2))."""
+    sizes = [(h, w)]
+    for _ in range(n):
+        h, w = -(-h // 2), -(-w // 2)
+        sizes.append((h, w))
+    return sizes
+
+
+class CSPNUNet(nn.Module):
+    """Encoder-decoder with dual heads (depth + affinity) and CSPN refinement."""
+
+    block: str = "bottleneck"
+    layers: Sequence[int] = (3, 4, 6, 3)
+    cspn_steps: int = 24
+    cspn_norm_type: str = "8sum"
+    use_cspn: bool = True
+    train: bool = False
+    axis_name: str | None = None
+    cspn_backend: str = "auto"
+
+    @nn.compact
+    def __call__(self, x):
+        n, h, w, c = x.shape
+        assert c == 4, "input must be RGBD [N, H, W, 4]"
+        sparse_depth = x[..., 3]
+        sizes = ceil_half_chain(h, w, 5)
+        e = 4 if self.block == "bottleneck" else 1
+
+        feats, skips = ResNetEncoder(
+            block=self.block,
+            layers=self.layers,
+            train=self.train,
+            axis_name=self.axis_name,
+            name="encoder",
+        )(x)
+
+        kw = dict(train=self.train, axis_name=self.axis_name)
+        d = GudiUpProj(256 * e, *sizes[4], **kw, name="gud_up_proj_layer1")(feats)
+        d = GudiUpProjCat(128 * e, *sizes[3], **kw, name="gud_up_proj_layer2")(
+            d, skips["skip2"]
+        )
+        d = GudiUpProjCat(64 * e, *sizes[2], **kw, name="gud_up_proj_layer3")(
+            d, skips["skip3"]
+        )
+        d = GudiUpProjCat(64, *sizes[1], **kw, name="gud_up_proj_layer4")(
+            d, skips["skip4"]
+        )
+        blur_depth = GudiUpConvLast(1, *sizes[0], name="gud_up_proj_layer5")(d)[..., 0]
+        if not self.use_cspn:
+            return blur_depth
+        guidance = GudiUpConvLast(8, *sizes[0], name="gud_up_proj_layer6")(d)
+        return cspn2d(
+            guidance,
+            blur_depth,
+            sparse_depth,
+            steps=self.cspn_steps,
+            norm_type=self.cspn_norm_type,
+            backend=self.cspn_backend,
+        )
+
+
+_LAYERS = {
+    18: ("basic", (2, 2, 2, 2)),
+    34: ("basic", (3, 4, 6, 3)),
+    50: ("bottleneck", (3, 4, 6, 3)),
+    101: ("bottleneck", (3, 4, 23, 3)),
+    152: ("bottleneck", (3, 8, 36, 3)),
+}
+
+
+def _make(depth: int, use_cspn: bool, **kwargs) -> CSPNUNet:
+    block, layers = _LAYERS[depth]
+    return CSPNUNet(block=block, layers=layers, use_cspn=use_cspn, **kwargs)
+
+
+def cspn_unet_resnet18(**kw):
+    """KITTI trunk (reference train.py:146-147 uses resnet18 for KITTI)."""
+    return _make(18, True, **kw)
+
+
+def cspn_unet_resnet34(**kw):
+    return _make(34, True, **kw)
+
+
+def cspn_unet_resnet50(**kw):
+    """NYU flagship (reference train.py:142-144)."""
+    return _make(50, True, **kw)
+
+
+def cspn_unet_resnet101(**kw):
+    return _make(101, True, **kw)
+
+
+def cspn_unet_resnet152(**kw):
+    return _make(152, True, **kw)
+
+
+def unet_baseline_resnet18(**kw):
+    """No-CSPN baseline (the reference's missing `torch_resnet`)."""
+    return _make(18, False, **kw)
+
+
+def unet_baseline_resnet50(**kw):
+    return _make(50, False, **kw)

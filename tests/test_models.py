@@ -1,0 +1,87 @@
+"""Model zoo tests: shapes, geometry parameterization, train/eval modes."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cspn_tpu.models import (
+    CSPNUNet,
+    cspn_unet_resnet18,
+    cspn_unet_resnet50,
+    unet_baseline_resnet18,
+)
+from cspn_tpu.models.decoder import unpool2x
+from cspn_tpu.models.unet import ceil_half_chain
+
+
+def test_ceil_half_chain_matches_reference_nyu_geometry():
+    # reference hard-codes 228x304 -> 114x152 -> 57x76 -> 29x38 -> 15x19
+    # (torch_resnet_cspn_nyu.py:314-319); encoder bottleneck is 8x10
+    sizes = ceil_half_chain(228, 304)
+    assert sizes == [(228, 304), (114, 152), (57, 76), (29, 38), (15, 19), (8, 10)]
+
+
+def test_unpool2x_zero_insert():
+    x = jnp.arange(6, dtype=jnp.float32).reshape(1, 2, 3, 1)
+    y = unpool2x(x, 4, 6)
+    y = np.asarray(y[0, :, :, 0])
+    assert y[0, 0] == 0 and y[0, 2] == 1 and y[2, 4] == 5
+    # odd positions zero
+    assert y[1::2].sum() == 0 and y[:, 1::2].sum() == 0
+
+
+def test_unpool2x_crop_odd_sizes():
+    x = jnp.ones((1, 3, 4, 2))
+    y = unpool2x(x, 5, 7)
+    assert y.shape == (1, 5, 7, 2)
+
+
+@pytest.mark.parametrize(
+    "ctor,hw",
+    [
+        (cspn_unet_resnet18, (64, 96)),  # small KITTI-style geometry
+        (cspn_unet_resnet50, (60, 80)),  # small NYU-style geometry
+        (unet_baseline_resnet18, (64, 96)),
+    ],
+)
+def test_model_forward_shapes(rng, ctor, hw):
+    h, w = hw
+    model = ctor(cspn_steps=2, cspn_backend="reference")
+    x = jnp.asarray(rng.standard_normal((1, h, w, 4), dtype=np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(params, x)
+    assert out.shape == (1, h, w)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_model_train_mode_updates_batch_stats(rng):
+    model = CSPNUNet(
+        block="basic", layers=(1, 1, 1, 1), cspn_steps=1, train=True,
+        cspn_backend="reference",
+    )
+    x = jnp.asarray(rng.standard_normal((2, 32, 48, 4), dtype=np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    assert "batch_stats" in variables
+    out, updates = model.apply(variables, x, mutable=["batch_stats"])
+    assert out.shape == (2, 32, 48)
+    # running stats actually changed
+    leaf0 = jax.tree_util.tree_leaves(variables["batch_stats"])[0]
+    leaf1 = jax.tree_util.tree_leaves(updates["batch_stats"])[0]
+    assert not np.allclose(np.asarray(leaf0), np.asarray(leaf1))
+
+
+def test_model_grad_flows_through_cspn(rng):
+    model = CSPNUNet(
+        block="basic", layers=(1, 1, 1, 1), cspn_steps=2, train=False,
+        cspn_backend="reference",
+    )
+    x = jnp.asarray(rng.standard_normal((1, 32, 48, 4), dtype=np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+
+    def loss(params):
+        return jnp.mean(model.apply({"params": params, **{k: v for k, v in variables.items() if k != "params"}}, x) ** 2)
+
+    g = jax.grad(loss)(variables["params"])
+    gnorm = sum(float(jnp.sum(jnp.abs(l))) for l in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(gnorm) and gnorm > 0
