@@ -1,0 +1,217 @@
+"""Datasets (reference L2: nyu_dataset_loader.py / kitti_dataset_loader.py).
+
+CSV manifests (header `Name`, one HDF5 path per row -- same format as the
+reference's datalist/*.csv) of per-frame HDF5 files holding `rgb` (CHW uint8)
+and `depth` (HW float).  Samples are channels-last:
+    {'rgbd': [H, W, 4] float32, 'depth': [H, W] float32[, 'raw_rgb']}
+
+Augmentation chains match the reference loaders:
+  NYU train (nyu_dataset_loader.py:80-109): scale s~U(1,1.5) -> resize
+    int(240*s) -> rotate U(-5,5) -> ColorJitter(0.4,0.4,0.4) -> CenterCrop
+    (228,304) -> normalize -> p=.5 joint hflip -> depth /= s -> sparse sample.
+  NYU val (:112-129): resize 240 -> CenterCrop, no jitter/flip.
+  KITTI (kitti_dataset_loader.py:79-126): box crop (10,1210,130,370) ->
+    rotate -> jitter -> CenterCrop (228,912) -> normalize -> flip;
+    train divides depth by a random s~U(1,1.5) with no geometric rescale
+    (faithful to the reference, where Resize is absent but the division
+    remains) -> sparse sample.
+  Sparse sampling: Bernoulli p = n_sample / n_pixels for NYU (:141) but
+    p = n_sample / n_valid_pixels for KITTI (:138).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from typing import Iterable
+
+import numpy as np
+from PIL import Image
+
+from cspn_tpu.data import transforms as T
+
+
+def read_manifest(csv_file: str) -> list[str]:
+    """Read a datalist CSV (header row + one path per line)."""
+    with open(csv_file, newline="") as f:
+        rows = list(csv.reader(f))
+    if rows and rows[0] and rows[0][0].strip().lower() in ("name", "path"):
+        rows = rows[1:]
+    return [r[0] for r in rows if r]
+
+
+def load_h5_frame(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """HDF5 frame -> (rgb HWC uint8, depth HW float32)
+    (reference load_h5, nyu_dataset_loader.py:146-151)."""
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        rgb = np.asarray(f["rgb"]).transpose(1, 2, 0)
+        depth = np.asarray(f["depth"], dtype=np.float32)
+    return rgb, depth
+
+
+def create_sparse_depth(
+    depth: np.ndarray, n_sample: int, rng: np.random.Generator, denom: str = "total"
+) -> np.ndarray:
+    """Bernoulli sparse sampling of a depth map.
+
+    denom='total': p = n_sample / n_pixels (NYU, nyu_dataset_loader.py:141)
+    denom='valid': p = n_sample / #(depth > 1e-4) (KITTI, kitti_dataset_loader.py:138)
+    """
+    if denom == "total":
+        p = n_sample / depth.size
+    elif denom == "valid":
+        n_valid = int((depth > 1e-4).sum())
+        p = n_sample / max(n_valid, 1)
+    else:
+        raise ValueError(denom)
+    mask = (rng.random(depth.shape) < min(p, 1.0)).astype(np.float32)
+    return depth * mask
+
+
+class _DepthCompletionDataset:
+    """Shared train/val logic for the HDF5-manifest datasets."""
+
+    # subclass configuration
+    crop_hw: tuple[int, int]
+    sparse_denom: str
+    resize_base: int | None  # NYU: 240; KITTI: None (box crop instead)
+    box_crop: tuple[int, int, int, int] | None
+
+    def __init__(
+        self,
+        csv_file: str,
+        root_dir: str = ".",
+        split: str = "train",
+        n_sample: int = 500,
+        seed: int | None = None,
+        return_raw_rgb: bool = False,
+    ):
+        self.paths = read_manifest(csv_file)
+        self.root_dir = root_dir
+        self.split = split
+        self.n_sample = n_sample
+        self.return_raw_rgb = return_raw_rgb
+        self._seed = seed
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def _rng(self, idx: int) -> np.random.Generator:
+        if self._seed is None:
+            return np.random.default_rng()
+        return np.random.default_rng((self._seed, idx))
+
+    def _load(self, idx: int) -> tuple[Image.Image, Image.Image]:
+        path = os.path.join(self.root_dir, self.paths[idx])
+        rgb, depth = load_h5_frame(path)
+        return Image.fromarray(rgb, mode="RGB"), Image.fromarray(depth, mode="F")
+
+    def __getitem__(self, idx: int) -> dict[str, np.ndarray]:
+        rgb, depth = self._load(idx)
+        rng = self._rng(idx)
+
+        geom: list = []
+        if self.box_crop is not None:
+            geom.append(T.Crop(*self.box_crop))
+        s = 1.0
+        if self.split == "train":
+            s = rng.uniform(1.0, 1.5)
+            if self.resize_base is not None:
+                geom.append(T.Resize(int(self.resize_base * s)))
+            geom.append(T.Rotation(rng.uniform(-5.0, 5.0)))
+        elif self.resize_base is not None:
+            geom.append(T.Resize(self.resize_base))
+
+        rgb_ops = list(geom)
+        if self.split == "train":
+            rgb_ops.append(T.ColorJitter(0.4, 0.4, 0.4, rng=rng))
+        rgb_ops.append(T.CenterCrop(self.crop_hw))
+        depth_ops = geom + [T.CenterCrop(self.crop_hw)]
+
+        rgb = T.Compose(rgb_ops)(rgb)
+        depth = T.Compose(depth_ops)(depth)
+
+        if self.split == "train" and rng.random() < 0.5:
+            rgb, depth = T.hflip(rgb), T.hflip(depth)
+
+        raw_rgb = T.rgb_to_array(rgb)
+        rgb_arr = T.Normalize()(raw_rgb)
+        depth_arr = T.depth_to_array(depth)
+        if self.split == "train":
+            depth_arr = depth_arr / s
+
+        sparse = create_sparse_depth(depth_arr, self.n_sample, rng, self.sparse_denom)
+        rgbd = np.concatenate([rgb_arr, sparse[..., None]], axis=-1).astype(np.float32)
+        sample = {"rgbd": rgbd, "depth": depth_arr.astype(np.float32)}
+        if self.return_raw_rgb:
+            # eval-variant loaders additionally return the un-normalized rgb
+            # for image dumping (eval_nyu_dataset_loader.py:113-125)
+            sample["raw_rgb"] = raw_rgb
+        return sample
+
+
+class NyuDepthDataset(_DepthCompletionDataset):
+    crop_hw = (228, 304)
+    sparse_denom = "total"
+    resize_base = 240
+    box_crop = None
+
+
+class KittiDataset(_DepthCompletionDataset):
+    crop_hw = (228, 912)
+    sparse_denom = "valid"
+    resize_base = None
+    box_crop = (10, 1210, 130, 370)
+
+
+class SyntheticDepthDataset:
+    """Procedural RGBD fixture dataset (no files needed): smooth random depth
+    surfaces + shading-derived RGB.  Deterministic per (seed, idx).  Used by
+    tests and benchmarks; mirrors the real datasets' sample dict."""
+
+    def __init__(
+        self,
+        length: int = 64,
+        hw: tuple[int, int] = (228, 304),
+        n_sample: int = 500,
+        seed: int = 0,
+        split: str = "train",
+        return_raw_rgb: bool = False,
+    ):
+        self.length = length
+        self.hw = hw
+        self.n_sample = n_sample
+        self.seed = seed
+        self.split = split
+        self.return_raw_rgb = return_raw_rgb
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, idx: int) -> dict[str, np.ndarray]:
+        h, w = self.hw
+        rng = np.random.default_rng((self.seed, idx))
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        depth = np.full((h, w), 2.0, np.float32)
+        for _ in range(6):
+            cy, cx = rng.uniform(0, h), rng.uniform(0, w)
+            sy, sx = rng.uniform(h / 8, h / 2), rng.uniform(w / 8, w / 2)
+            amp = rng.uniform(-1.0, 1.0)
+            depth += amp * np.exp(
+                -(((yy - cy) / sy) ** 2 + ((xx - cx) / sx) ** 2)
+            ).astype(np.float32)
+        depth = np.clip(depth, 0.5, 10.0)
+        gy, gx = np.gradient(depth)
+        shade = 1.0 / (1.0 + np.abs(gy) + np.abs(gx))
+        raw_rgb = np.stack(
+            [shade, depth / 10.0, 1.0 - depth / 10.0], axis=-1
+        ).astype(np.float32)
+        rgb = T.Normalize()(raw_rgb)
+        sparse = create_sparse_depth(depth, self.n_sample, rng, "total")
+        rgbd = np.concatenate([rgb, sparse[..., None]], axis=-1).astype(np.float32)
+        sample = {"rgbd": rgbd, "depth": depth}
+        if self.return_raw_rgb:
+            sample["raw_rgb"] = raw_rgb
+        return sample

@@ -1,0 +1,141 @@
+"""Data pipeline tests: transforms, datasets (HDF5 fixtures), sparse
+sampling, loader sharding/ordering."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from cspn_tpu.data import (
+    DataLoader,
+    KittiDataset,
+    NyuDepthDataset,
+    SyntheticDepthDataset,
+    create_sparse_depth,
+)
+from cspn_tpu.data import transforms as T
+from cspn_tpu.data.datasets import load_h5_frame, read_manifest
+
+
+@pytest.fixture(scope="module")
+def h5_fixture(tmp_path_factory):
+    """Write a tiny NYU-format HDF5 dataset + CSV manifest."""
+    import h5py
+
+    root = tmp_path_factory.mktemp("nyu")
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(4):
+        p = root / f"{i:05d}.h5"
+        with h5py.File(p, "w") as f:
+            f["rgb"] = rng.integers(0, 255, (3, 480, 640), dtype=np.uint8)
+            f["depth"] = rng.uniform(0.5, 8.0, (480, 640)).astype(np.float32)
+        paths.append(str(p))
+    csv_path = root / "train.csv"
+    csv_path.write_text("Name\n" + "\n".join(paths) + "\n")
+    return str(csv_path)
+
+
+def test_manifest_and_h5_roundtrip(h5_fixture):
+    paths = read_manifest(h5_fixture)
+    assert len(paths) == 4
+    rgb, depth = load_h5_frame(paths[0])
+    assert rgb.shape == (480, 640, 3) and rgb.dtype == np.uint8
+    assert depth.shape == (480, 640) and depth.dtype == np.float32
+
+
+def test_nyu_train_sample_geometry_and_channels(h5_fixture):
+    ds = NyuDepthDataset(h5_fixture, split="train", n_sample=200, seed=0)
+    s = ds[0]
+    assert s["rgbd"].shape == (228, 304, 4)
+    assert s["depth"].shape == (228, 304)
+    # channel 3 is sparse depth: mostly zero, nonzero values match gt depth
+    sparse = s["rgbd"][..., 3]
+    nz = sparse > 0
+    assert 20 < nz.sum() < 1000
+    np.testing.assert_allclose(sparse[nz], s["depth"][nz], rtol=1e-6)
+
+
+def test_nyu_val_deterministic_with_seed(h5_fixture):
+    a = NyuDepthDataset(h5_fixture, split="val", n_sample=500, seed=7)[1]
+    b = NyuDepthDataset(h5_fixture, split="val", n_sample=500, seed=7)[1]
+    np.testing.assert_array_equal(a["rgbd"], b["rgbd"])
+
+
+def test_kitti_geometry(h5_fixture):
+    # KITTI frames are wider; reuse fixture via upscaling path: fixture is
+    # 640 wide, box crop needs 1210 -- so build a wide frame inline instead.
+    import h5py, tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "k.h5")
+        rng = np.random.default_rng(0)
+        with h5py.File(p, "w") as f:
+            f["rgb"] = rng.integers(0, 255, (3, 375, 1242), dtype=np.uint8)
+            depth = np.zeros((375, 1242), np.float32)
+            depth[150:] = rng.uniform(1, 80, (225, 1242)).astype(np.float32)
+            f["depth"] = depth
+        csv_p = os.path.join(d, "m.csv")
+        with open(csv_p, "w") as f:
+            f.write("Name\n" + p + "\n")
+        s = KittiDataset(csv_p, split="val", n_sample=500, seed=0)[0]
+        assert s["rgbd"].shape == (228, 912, 4)
+        assert s["depth"].shape == (228, 912)
+
+
+def test_sparse_sampler_denominators(rng):
+    depth = np.zeros((100, 100), np.float32)
+    depth[:50] = 5.0  # half the pixels valid
+    total = create_sparse_depth(depth, 500, np.random.default_rng(0), "total")
+    valid = create_sparse_depth(depth, 500, np.random.default_rng(0), "valid")
+    # 'total': p=500/10000 over all pixels but only valid ones contribute
+    assert 150 < (total > 0).sum() < 350
+    # 'valid': p=500/5000 concentrates full budget on valid pixels
+    assert 380 < (valid > 0).sum() < 620
+
+
+def test_transforms_depth_float_preserved():
+    d = np.full((40, 60), 3.25, np.float32)
+    img = Image.fromarray(d, mode="F")
+    out = T.depth_to_array(T.Compose([T.Resize(30), T.CenterCrop((20, 30))])(img))
+    assert out.shape == (20, 30)
+    np.testing.assert_allclose(out, 3.25, rtol=1e-6)
+
+
+def test_unnormalize_roundtrip(rng):
+    x = rng.random((5, 5, 3)).astype(np.float32)
+    np.testing.assert_allclose(T.unnormalize(T.Normalize()(x)), x, rtol=1e-5, atol=1e-6)
+
+
+def test_loader_orders_batches_and_shards():
+    ds = SyntheticDepthDataset(length=20, hw=(24, 32), n_sample=50)
+    loader = DataLoader(ds, batch_size=4, num_workers=3, drop_last=True)
+    batches = list(loader)
+    assert len(batches) == 5
+    assert batches[0]["rgbd"].shape == (4, 24, 32, 4)
+    # two shards cover disjoint halves
+    l0 = DataLoader(ds, batch_size=2, shard=(0, 2))
+    l1 = DataLoader(ds, batch_size=2, shard=(1, 2))
+    assert len(l0) == 5 and len(l1) == 5
+    b0 = next(iter(l0))["depth"]
+    b1 = next(iter(l1))["depth"]
+    assert not np.allclose(b0, b1)
+
+
+def test_loader_propagates_worker_errors():
+    class Bad:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError, match="boom"):
+        list(DataLoader(Bad(), batch_size=2, num_workers=2))
+
+
+def test_synthetic_dataset_deterministic():
+    a = SyntheticDepthDataset(length=2, hw=(16, 16), seed=3)[0]
+    b = SyntheticDepthDataset(length=2, hw=(16, 16), seed=3)[0]
+    np.testing.assert_array_equal(a["rgbd"], b["rgbd"])
