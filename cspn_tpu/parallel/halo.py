@@ -1,0 +1,124 @@
+"""Spatially-sharded CSPN with halo exchange (SURVEY.md §5 long-context plan).
+
+The reference handles scale by cropping images to fit one GPU
+(228x304 / 228x912 crops).  Here the image's H dimension is sharded over the
+'spatial' mesh axis and the 24-step recurrence runs blockwise: each CSPN step
+only needs a 1-pixel neighborhood, so a halo of width K lets every device run
+K steps locally before exchanging K boundary rows with its mesh neighbors
+over ICI (`jax.lax.ppermute`).  This is the propagation-network analog of
+ring-attention/context-parallelism.
+
+Correctness notes:
+  - gate normalization needs a 1-row guidance halo, so guidance is exchanged
+    with width K+1 and the normalized gates cropped to the K-extended block;
+  - `ppermute` zero-fills edge devices, which exactly reproduces the
+    reference's zero-padding at global image borders (cspn.py:104-129);
+  - halo rows run the same update as interior rows; their outermost K rows
+    accumulate error at 1 row/step, so after K steps the interior is exact
+    (verified against the unsharded oracle in tests/test_parallel.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from cspn_tpu.ops.cspn_ref import normalize_affinity_2d
+from cspn_tpu.ops.neighbors import OFFSETS_2D_REFERENCE, shift
+
+
+def _exchange_halos(x: jnp.ndarray, k: int, axis_name: str) -> jnp.ndarray:
+    """Extend rows (axis 1) of a local block with k rows from each mesh
+    neighbor; zero-filled at the ends (global image border)."""
+    size = lax.axis_size(axis_name)
+    if size == 1 or k == 0:
+        pads = [(0, 0)] * x.ndim
+        pads[1] = (k, k)
+        return jnp.pad(x, pads)
+    down = [(i, i + 1) for i in range(size - 1)]  # receive prev's bottom rows
+    up = [(i + 1, i) for i in range(size - 1)]  # receive next's top rows
+    top_halo = lax.ppermute(x[:, -k:], axis_name, down)
+    bottom_halo = lax.ppermute(x[:, :k], axis_name, up)
+    return jnp.concatenate([top_halo, x, bottom_halo], axis=1)
+
+
+def _local_cspn(
+    guidance, blur, sparse, *, steps: int, norm_type: str, halo: int, axis_name: str
+):
+    """Per-device block compute. guidance [n, h, W, 8]; blur/sparse [n, h, W]."""
+    # a halo (and the +1 gate halo) can only reach the immediate mesh
+    # neighbor, so it is capped by the local block height
+    k = max(1, min(halo, guidance.shape[1] - 1))
+    g_ext = _exchange_halos(guidance, k + 1, axis_name)
+    gates, center = normalize_affinity_2d(g_ext, norm_type)
+    gates, center = gates[:, 1:-1], center[:, 1:-1]  # valid on the k-extended block
+
+    x0 = _exchange_halos(blur, k, axis_name)
+    if sparse is not None:
+        mask = jnp.sign(_exchange_halos(sparse, k, axis_name))
+
+    def step_fn(x):
+        xs = jnp.stack(
+            [shift(x, off, axes=(-2, -1)) for off in OFFSETS_2D_REFERENCE], axis=-1
+        )
+        y = jnp.sum(gates * xs, axis=-1) + center * x0
+        if sparse is not None:
+            y = (1.0 - mask) * y + mask * x0
+        return y
+
+    x = x0
+    done = 0
+    while done < steps:
+        if done > 0:  # refresh halo rows from neighbors' interiors
+            x = _exchange_halos(x[:, k:-k] if k else x, k, axis_name)
+        k_this = min(k, steps - done) if k else steps
+        for _ in range(k_this if k else steps):
+            x = step_fn(x)
+        done += k_this if k else steps
+    return x[:, k:-k] if k else x
+
+
+def cspn2d_spatial(
+    guidance: jnp.ndarray,
+    blur_depth: jnp.ndarray,
+    sparse_depth: jnp.ndarray | None = None,
+    *,
+    mesh: Mesh,
+    steps: int = 24,
+    norm_type: str = "8sum",
+    halo: int = 4,
+    data_axis: str = "data",
+    spatial_axis: str = "spatial",
+):
+    """2D CSPN with batch sharded over `data_axis` and image rows sharded
+    over `spatial_axis`.  Semantics identical to ops.cspn2d.
+
+    Requires N % mesh['data'] == 0 and H % mesh['spatial'] == 0.
+    """
+    has_sparse = sparse_depth is not None
+    spec_g = P(data_axis, spatial_axis, None, None)
+    spec_x = P(data_axis, spatial_axis, None)
+
+    fn = functools.partial(
+        _local_cspn,
+        steps=steps,
+        norm_type=norm_type,
+        halo=halo,
+        axis_name=spatial_axis,
+    )
+
+    if has_sparse:
+        local = lambda g, b, s: fn(g, b, s)
+        in_specs = (spec_g, spec_x, spec_x)
+        args = (guidance, blur_depth, sparse_depth)
+    else:
+        local = lambda g, b: fn(g, b, None)
+        in_specs = (spec_g, spec_x)
+        args = (guidance, blur_depth)
+
+    return shard_map(local, mesh=mesh, in_specs=in_specs, out_specs=spec_x)(*args)

@@ -1,0 +1,99 @@
+"""Train state & optimizer (reference L3: train.py:169-177).
+
+SGD(lr, momentum 0.9, weight decay 1e-4, nesterov) as an optax chain with the
+learning rate injected as a mutable hyperparameter so the host-side
+ReduceLROnPlateau controller can update it between epochs.
+
+`partial_restore` is the functional analog of the reference's checkpoint key
+surgery (models/update_model.py:13-31): copy every leaf whose tree path and
+shape match, keep the rest of the target (used both for resuming and for
+importing pretrained encoder weights into the 4-channel-stem model).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import optax
+from flax import core, struct
+from flax.training import train_state
+
+
+class TrainState(train_state.TrainState):
+    batch_stats: core.FrozenDict[str, Any] = struct.field(default=None)
+
+
+def _sgd(learning_rate: float, momentum: float, weight_decay: float, nesterov: bool):
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.sgd(learning_rate, momentum=momentum, nesterov=nesterov),
+    )
+
+
+def make_optimizer(
+    learning_rate: float = 0.01,
+    momentum: float = 0.9,
+    weight_decay: float = 1e-4,
+    nesterov: bool = True,
+):
+    return optax.inject_hyperparams(_sgd)(
+        learning_rate=learning_rate,
+        momentum=momentum,
+        weight_decay=weight_decay,
+        nesterov=nesterov,
+    )
+
+
+def create_train_state(
+    model, rng, sample_input, learning_rate: float = 0.01, **opt_kw
+) -> TrainState:
+    variables = model.init(rng, sample_input)
+    return TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", core.FrozenDict()),
+        tx=make_optimizer(learning_rate, **opt_kw),
+    )
+
+
+def set_learning_rate(state: TrainState, lr: float) -> TrainState:
+    """Return a state whose optimizer will use `lr` for subsequent steps."""
+    opt_state = state.opt_state
+    hyperparams = dict(opt_state.hyperparams)
+    hyperparams["learning_rate"] = jax.numpy.asarray(
+        lr, dtype=jax.numpy.asarray(hyperparams["learning_rate"]).dtype
+    )
+    return state.replace(opt_state=opt_state._replace(hyperparams=hyperparams))
+
+
+def get_learning_rate(state: TrainState) -> float:
+    return float(state.opt_state.hyperparams["learning_rate"])
+
+
+def partial_restore(target: Any, source: Any, verbose: bool = False) -> Any:
+    """Copy leaves from `source` into `target` where path and shape match.
+
+    Functional analog of update_model.update_model (update_model.py:13-20):
+    the returned tree has target's structure; matching leaves take source's
+    values, everything else keeps target's initialization.
+    """
+    tgt_flat = dict(jax.tree_util.tree_flatten_with_path(target)[0])
+    src_flat = dict(jax.tree_util.tree_flatten_with_path(source)[0])
+    out = {}
+    n_copied = 0
+    for path, leaf in tgt_flat.items():
+        src_leaf = src_flat.get(path)
+        if src_leaf is not None and getattr(src_leaf, "shape", None) == getattr(
+            leaf, "shape", None
+        ):
+            out[path] = src_leaf
+            n_copied += 1
+        else:
+            out[path] = leaf
+    if verbose:
+        print(f"partial_restore: copied {n_copied}/{len(tgt_flat)} leaves")
+    treedef = jax.tree_util.tree_structure(target)
+    return jax.tree_util.tree_unflatten(
+        treedef, [out[p] for p, _ in jax.tree_util.tree_flatten_with_path(target)[0]]
+    )
