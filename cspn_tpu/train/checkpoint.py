@@ -29,10 +29,12 @@ class CheckpointManager:
     def save_epoch(self, tree: Any, epoch: int):
         path = self._path(f"epoch_{epoch:02d}")
         self._ckpt.save(path, tree, force=True)
+        self._ckpt.wait_until_finished()
         self._gc()
 
     def save_best(self, tree: Any):
         self._ckpt.save(self._path("best_model"), tree, force=True)
+        self._ckpt.wait_until_finished()
 
     def restore(self, name: str, target: Any) -> Any:
         """Restore checkpoint `name` ('best_model' or 'epoch_NN') into the

@@ -1,0 +1,148 @@
+"""Runtime tests: metrics vs a direct numpy transcription of utils.py,
+losses, plateau LR schedule, partial restore, checkpointing, and an
+end-to-end smoke train on the synthetic dataset."""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cspn_tpu.train import (
+    ErrorAverager,
+    ReduceLROnPlateau,
+    berhu_loss,
+    evaluate_error,
+    masked_l1_loss,
+    partial_restore,
+)
+
+
+def _ref_metrics(gt, pred):
+    """Numpy transcription of reference utils.evaluate_error (utils.py:19-47)."""
+    mask = gt > 1e-4
+    g, p = gt[mask], pred[mask]
+    n = g.size
+    diff = np.abs(g - p)
+    out = {}
+    out["MSE"] = (diff**2).sum() / n
+    out["RMSE"] = math.sqrt(out["MSE"])
+    out["MAE"] = diff.sum() / n
+    out["ABS_REL"] = (diff / g).sum() / n
+    ratio = np.maximum(g / p, p / g)
+    for t, k in [
+        (1.02, "DELTA1.02"),
+        (1.05, "DELTA1.05"),
+        (1.10, "DELTA1.10"),
+        (1.25, "DELTA1.25"),
+        (1.25**2, "DELTA1.25^2"),
+        (1.25**3, "DELTA1.25^3"),
+    ]:
+        out[k] = (ratio < t).sum() / n
+    return out
+
+
+def test_evaluate_error_matches_reference_semantics(rng):
+    gt = np.abs(rng.standard_normal((2, 10, 12))).astype(np.float32)
+    gt[0, :3] = 0.0  # invalid region
+    pred = np.abs(rng.standard_normal((2, 10, 12))).astype(np.float32)
+    want = _ref_metrics(gt, pred)
+    got = {k: float(v) for k, v in evaluate_error(jnp.asarray(gt), jnp.asarray(pred)).items()}
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, rel=1e-5), k
+
+
+def test_masked_l1_matches_reference(rng):
+    label = np.abs(rng.standard_normal((2, 8, 8))).astype(np.float32)
+    label[:, :2] = 0.0
+    pred = rng.standard_normal((2, 8, 8)).astype(np.float32)
+    mask = label > 1e-4
+    want = np.abs(pred - label)[mask].sum() / mask.sum()
+    got = float(masked_l1_loss(jnp.asarray(pred), jnp.asarray(label)))
+    assert got == pytest.approx(want, rel=1e-6)
+
+
+def test_berhu_loss_formula(rng):
+    label = np.abs(rng.standard_normal((4, 4))).astype(np.float32) + 1.0
+    pred = label + rng.uniform(-0.1, 0.1, (4, 4)).astype(np.float32)
+    pred[0, 0] = label[0, 0] + 1.0  # outlier sets the threshold c
+    diff = np.abs(pred - label)
+    c = 0.2 * diff.max()
+    want = np.where(diff <= c, diff, (diff**2 + c**2) / (2 * c)).mean()
+    got = float(berhu_loss(jnp.asarray(pred), jnp.asarray(label)))
+    assert got == pytest.approx(want, rel=1e-5)
+    # small-error pixels are penalized linearly (L1 branch active)
+    assert (diff <= c).sum() > 10
+
+
+def test_error_averager_batch_weighting():
+    a = ErrorAverager()
+    e1 = {k: 1.0 for k in a.sums}
+    e2 = {k: 3.0 for k in a.sums}
+    a.update(e1, 2)
+    avg = a.update(e2, 6)
+    assert avg["RMSE"] == pytest.approx((1 * 2 + 3 * 6) / 8)
+
+
+def test_plateau_schedule_reference_behavior():
+    s = ReduceLROnPlateau(0.01, patience=3)
+    lrs = [s.step(1.0) for _ in range(5)]
+    # best=1.0 at step1; steps 2..5 no improvement; wait hits patience at step 5
+    assert lrs[:4] == [0.01] * 4
+    assert lrs[4] == pytest.approx(0.001)
+    # improvement resets
+    assert s.step(0.5) == pytest.approx(0.001)
+    for _ in range(4):
+        lr = s.step(0.5)
+    assert lr == pytest.approx(1e-4)
+    # floor at min_lr
+    for _ in range(40):
+        lr = s.step(0.5)
+    assert lr >= s.min_lr
+
+
+def test_partial_restore_shapes_and_paths():
+    target = {"a": np.zeros((2, 2)), "b": {"c": np.zeros(3), "d": np.zeros(4)}}
+    source = {"a": np.ones((2, 2)), "b": {"c": np.ones(5)}}  # c: shape mismatch
+    out = partial_restore(target, source)
+    assert (out["a"] == 1).all()
+    assert (out["b"]["c"] == 0).all()  # mismatched shape kept target
+    assert (out["b"]["d"] == 0).all()
+
+
+@pytest.mark.slow
+def test_end_to_end_smoke_train(tmp_path):
+    """One epoch on the synthetic dataset: loss finite, checkpoint written,
+    resume restores state."""
+    from cspn_tpu.config import PRESETS
+    import dataclasses
+
+    from cspn_tpu.data import DataLoader, SyntheticDepthDataset
+    from cspn_tpu.train.loop import Trainer
+    from cspn_tpu.parallel import make_mesh
+
+    cfg = dataclasses.replace(
+        PRESETS["synthetic_smoke"],
+        save_dir=str(tmp_path / "run"),
+        best_model_dir=str(tmp_path / "run"),
+        log_every=2,
+    )
+    ds = SyntheticDepthDataset(length=8, hw=(32, 48), n_sample=64)
+    train_loader = DataLoader(ds, batch_size=4, drop_last=True, num_workers=2)
+    val_loader = DataLoader(ds, batch_size=4, num_workers=2)
+    mesh = make_mesh(data=2, spatial=1)
+    trainer = Trainer(cfg, train_loader, val_loader, mesh=mesh)
+    result = trainer.fit(1)
+    assert np.isfinite(result["RMSE"])
+    assert trainer.ckpt.has("best_model")
+    assert trainer.ckpt.latest_epoch() == 0
+
+    # resume into a fresh trainer
+    trainer2 = Trainer(cfg, train_loader, val_loader, mesh=mesh)
+    trainer2.resume("best_model")
+    assert trainer2.epoch == 1
+    assert trainer2.best_rmse == pytest.approx(trainer.best_rmse)
+    p1 = jax.tree_util.tree_leaves(trainer.state.params)[0]
+    p2 = jax.tree_util.tree_leaves(trainer2.state.params)[0]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2))
