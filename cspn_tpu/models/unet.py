@@ -16,7 +16,7 @@ Input: [N, H, W, 4] RGBD; channel 3 is the sparse depth used for anchoring
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -47,6 +47,10 @@ class CSPNUNet(nn.Module):
     train: bool = False
     axis_name: str | None = None
     cspn_backend: str = "auto"
+    # when set (a jax.sharding.Mesh with 'data'/'spatial' axes), the CSPN
+    # post-process runs spatially sharded with halo exchange (parallel/halo.py)
+    spatial_mesh: Any = None
+    spatial_halo: int = 4
 
     @nn.compact
     def __call__(self, x):
@@ -79,6 +83,18 @@ class CSPNUNet(nn.Module):
         if not self.use_cspn:
             return blur_depth
         guidance = GudiUpConvLast(8, *sizes[0], name="gud_up_proj_layer6")(d)
+        if self.spatial_mesh is not None:
+            from cspn_tpu.parallel.halo import cspn2d_spatial
+
+            return cspn2d_spatial(
+                guidance,
+                blur_depth,
+                sparse_depth,
+                mesh=self.spatial_mesh,
+                steps=self.cspn_steps,
+                norm_type=self.cspn_norm_type,
+                halo=self.spatial_halo,
+            )
         return cspn2d(
             guidance,
             blur_depth,
