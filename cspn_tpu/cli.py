@@ -1,0 +1,205 @@
+"""Command-line interface (reference L5: train.py/eval.py argparse + the
+bash wrapper scripts).
+
+    python -m cspn_tpu train --preset nyu_train [overrides]
+    python -m cspn_tpu eval  --preset nyu_eval --runs 5 --dump-images
+    python -m cspn_tpu demo  --dim-num 3 --prop-step 24      (paddle demo)
+    python -m cspn_tpu bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+
+
+def _add_common_overrides(p: argparse.ArgumentParser):
+    p.add_argument("--preset", default=None, help="named config preset")
+    p.add_argument("--data-set", dest="dataset", default=None,
+                   choices=["nyudepth", "kitti", "synthetic"])
+    p.add_argument("--train-list", default=None)
+    p.add_argument("--eval-list", default=None)
+    p.add_argument("--root-dir", default=None)
+    p.add_argument("--n-sample", type=int, default=None)
+    p.add_argument("--batch-size-train", type=int, default=None)
+    p.add_argument("--batch-size-eval", type=int, default=None)
+    p.add_argument("--model", default=None, help="resnet18|34|50|101|152")
+    p.add_argument("--no-cspn", action="store_true", help="baseline model")
+    p.add_argument("--cspn-step", type=int, default=None)
+    p.add_argument("--cspn-norm-type", default=None, choices=["8sum", "8sum_abs"])
+    p.add_argument("--cspn-backend", default=None,
+                   choices=["auto", "pallas", "reference"])
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--num-epoch", type=int, default=None)
+    p.add_argument("--loss", default=None, choices=["l1", "berhu"])
+    p.add_argument("--save-dir", default=None)
+    p.add_argument("--best-model-dir", default=None)
+    p.add_argument("--resume", "-r", action="store_true")
+    p.add_argument("--pretrain-path", default=None,
+                   help="torch-format .pth with pretrained encoder weights")
+    p.add_argument("--mesh-data", type=int, default=None)
+    p.add_argument("--mesh-spatial", type=int, default=1)
+
+
+def _build_config(args):
+    from cspn_tpu.config import PRESETS, RunConfig
+
+    cfg = PRESETS[args.preset] if args.preset else RunConfig()
+    cfg = dataclasses.replace(cfg)  # shallow copy
+    model, data, optim = (
+        dataclasses.replace(cfg.model),
+        dataclasses.replace(cfg.data),
+        dataclasses.replace(cfg.optim),
+    )
+    if args.dataset:
+        data.dataset = args.dataset
+    for src, obj, dst in [
+        ("train_list", data, "train_list"),
+        ("eval_list", data, "eval_list"),
+        ("root_dir", data, "root_dir"),
+        ("n_sample", data, "n_sample"),
+        ("batch_size_train", data, "batch_size_train"),
+        ("batch_size_eval", data, "batch_size_eval"),
+        ("model", model, "arch"),
+        ("cspn_step", model, "cspn_steps"),
+        ("cspn_norm_type", model, "cspn_norm_type"),
+        ("cspn_backend", model, "cspn_backend"),
+        ("lr", optim, "lr"),
+        ("num_epoch", optim, "num_epochs"),
+        ("loss", optim, "loss"),
+    ]:
+        v = getattr(args, src, None)
+        if v is not None:
+            setattr(obj, dst, v)
+    if args.no_cspn:
+        model.use_cspn = False
+    cfg = dataclasses.replace(cfg, model=model, data=data, optim=optim)
+    if args.save_dir:
+        cfg = dataclasses.replace(cfg, save_dir=args.save_dir)
+    if args.best_model_dir:
+        cfg = dataclasses.replace(cfg, best_model_dir=args.best_model_dir)
+    if args.resume:
+        cfg = dataclasses.replace(cfg, resume=True)
+    if args.pretrain_path:
+        cfg = dataclasses.replace(cfg, pretrained_path=args.pretrain_path)
+    cfg = dataclasses.replace(
+        cfg, mesh_data=args.mesh_data, mesh_spatial=args.mesh_spatial
+    )
+    return cfg
+
+
+def cmd_train(args):
+    cfg = _build_config(args)
+    from cspn_tpu.parallel import make_mesh
+    from cspn_tpu.train.factory import build_loaders
+    from cspn_tpu.train.loop import Trainer
+
+    mesh = make_mesh(data=cfg.mesh_data, spatial=cfg.mesh_spatial)
+    train_loader, val_loader = build_loaders(cfg)
+    pretrained = None
+    if cfg.pretrained_path:
+        from cspn_tpu.models.torch_import import load_torch_encoder_params
+
+        pretrained = load_torch_encoder_params(cfg.pretrained_path)
+    trainer = Trainer(cfg, train_loader, val_loader, mesh=mesh,
+                      pretrained_params=pretrained)
+    if cfg.resume:
+        trainer.resume("best_model")
+    trainer.fit()
+
+
+def cmd_eval(args):
+    cfg = _build_config(args)
+    from cspn_tpu.train.evaluate import run_eval
+
+    run_eval(cfg, runs=args.runs, dump_images=args.dump_images)
+
+
+def cmd_demo(args):
+    """Op-level demo mirroring cspn_paddle/demo.py: random guidance/feature
+    volumes through `prop_step` propagation steps, one optimization loop
+    validating differentiability, loss printed per iteration."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from cspn_tpu.ops import cspn_nd
+
+    dim, c, k, steps = args.dim_num, args.feat_chan, args.prop_kernel, args.prop_step
+    map_shape = tuple([48, 64, 128][3 - dim :])
+    n_gates = k**dim - 1
+    rng = np.random.default_rng(0)
+    guide = jnp.asarray(
+        rng.random((args.batch_size, *map_shape, c * n_gates)), jnp.float32
+    )
+    feat = jnp.asarray(rng.random((args.batch_size, *map_shape, c)), jnp.float32)
+
+    def loss_fn(g, f):
+        return jnp.mean(cspn_nd(g, f, kernel_size=k, steps=steps))
+
+    opt = optax.adam(1e-3)
+    params = (guide, feat)
+    opt_state = opt.init(params)
+    step = jax.jit(
+        lambda p, s: _demo_step(p, s, loss_fn, opt)
+    )
+    for i in range(args.iter_num):
+        params, opt_state, loss = step(params, opt_state)
+        print(f"iter={i:02d}  out={float(loss):.4f}", flush=True)
+
+
+def _demo_step(params, opt_state, loss_fn, opt):
+    import jax
+
+    loss, grads = jax.value_and_grad(lambda p: loss_fn(*p))(params)
+    updates, opt_state = opt.update(grads, opt_state)
+    import optax
+
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss
+
+
+def cmd_bench(args):
+    del args
+    import runpy
+    import os
+
+    runpy.run_path(os.path.join(os.path.dirname(__file__), "..", "bench.py"),
+                   run_name="__main__")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="cspn_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_train = sub.add_parser("train", help="train a depth-completion model")
+    _add_common_overrides(p_train)
+    p_train.set_defaults(fn=cmd_train)
+
+    p_eval = sub.add_parser("eval", help="evaluate best_model on the val set")
+    _add_common_overrides(p_eval)
+    p_eval.add_argument("--runs", type=int, default=5,
+                        help="sparse-resample eval runs to average (README protocol)")
+    p_eval.add_argument("--dump-images", action="store_true")
+    p_eval.set_defaults(fn=cmd_eval)
+
+    p_demo = sub.add_parser("demo", help="2D/3D CSPN op demo (paddle demo.py)")
+    p_demo.add_argument("--dim-num", type=int, default=3, choices=[2, 3])
+    p_demo.add_argument("--feat-chan", type=int, default=1)
+    p_demo.add_argument("--prop-kernel", type=int, default=3, choices=[3])
+    p_demo.add_argument("--prop-step", type=int, default=24)
+    p_demo.add_argument("--batch-size", type=int, default=3)
+    p_demo.add_argument("--iter-num", type=int, default=20)
+    p_demo.set_defaults(fn=cmd_demo)
+
+    p_bench = sub.add_parser("bench", help="run the throughput benchmark")
+    p_bench.set_defaults(fn=cmd_bench)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

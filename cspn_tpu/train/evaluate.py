@@ -1,0 +1,96 @@
+"""Standalone evaluation driver (reference eval.py).
+
+Loads best_model from cfg.best_model_dir, evaluates the val set, and -- since
+the Bernoulli sparse input makes eval stochastic -- automates the reference
+README's protocol of averaging over multiple runs with re-sampled sparse
+points (cspn_pytorch/README.md:73): each run re-seeds the sparse sampler,
+per-run and mean metrics are reported.  Optionally dumps
+%05d_{input,gt,pred}.png for the first run (reference eval.py:160-161).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cspn_tpu.config import RunConfig
+from cspn_tpu.data import DataLoader
+from cspn_tpu.train import checkpoint as ckpt_lib
+from cspn_tpu.train.factory import build_dataset
+from cspn_tpu.train.logging import format_error
+from cspn_tpu.train.loop import build_model, make_eval_step
+from cspn_tpu.train.metrics import METRIC_KEYS
+from cspn_tpu.train.state import create_train_state
+from cspn_tpu.utils.images import save_eval_images
+
+
+def load_eval_state(cfg: RunConfig, checkpoint: str = "best_model"):
+    """Build the eval model and restore params/batch_stats from checkpoint."""
+    model = build_model(cfg, train=False)
+    ds = build_dataset(cfg, "val", seed=0)
+    sample = ds[0]
+    x = jnp.asarray(sample["rgbd"][None])
+    state = create_train_state(build_model(cfg, train=True), jax.random.PRNGKey(0), x)
+    ckpt = ckpt_lib.CheckpointManager(cfg.best_model_dir)
+    if ckpt.has(checkpoint):
+        tree = ckpt_lib.state_to_tree(state, 0, float("inf"), cfg.optim.lr)
+        restored = ckpt.restore(checkpoint, tree)
+        state = state.replace(
+            params=restored["params"], batch_stats=restored["batch_stats"]
+        )
+        print(f"==> loaded {checkpoint} from {cfg.best_model_dir}")
+    else:
+        print(f"==> WARNING: no {checkpoint} in {cfg.best_model_dir}; random params")
+    return model, state
+
+
+def run_eval(
+    cfg: RunConfig,
+    runs: int = 5,
+    dump_images: bool = False,
+    checkpoint: str = "best_model",
+    max_batches: int | None = None,
+) -> dict:
+    model, state = load_eval_state(cfg, checkpoint)
+    eval_step = make_eval_step(model, cfg.optim.loss)
+
+    run_avgs = []
+    for run in range(runs):
+        ds = build_dataset(cfg, "val", seed=run, return_raw_rgb=dump_images and run == 0)
+        loader = DataLoader(
+            ds, cfg.data.batch_size_eval, num_workers=cfg.data.num_workers
+        )
+        sums = {k: 0.0 for k in METRIC_KEYS}
+        total = 0
+        index = 0
+        for bi, batch in enumerate(loader):
+            if max_batches is not None and bi >= max_batches:
+                break
+            rgbd = jnp.asarray(batch["rgbd"])
+            depth = jnp.asarray(batch["depth"])
+            pred, loss, error = eval_step(state, rgbd, depth)
+            bs = rgbd.shape[0]
+            for k in METRIC_KEYS:
+                sums[k] += float(error[k]) * bs
+            total += bs
+            if dump_images and run == 0:
+                pred_np = np.asarray(pred)
+                for j in range(bs):
+                    save_eval_images(
+                        cfg.data.dataset,
+                        cfg.best_model_dir,
+                        index,
+                        batch.get("raw_rgb", batch["rgbd"][..., :3])[j],
+                        np.asarray(depth[j]),
+                        pred_np[j],
+                        raw="raw_rgb" in batch,
+                    )
+                    index += 1
+        avg = {k: sums[k] / max(total, 1) for k in METRIC_KEYS}
+        run_avgs.append(avg)
+        print(format_error(f"eval_run_{run}", 0, total, 0.0, avg, avg), flush=True)
+
+    mean = {k: float(np.mean([a[k] for a in run_avgs])) for k in METRIC_KEYS}
+    print(format_error(f"eval_mean_of_{runs}_runs", 0, 0, 0.0, mean, mean), flush=True)
+    return {"runs": run_avgs, "mean": mean}

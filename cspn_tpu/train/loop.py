@@ -138,9 +138,16 @@ class Trainer:
             nesterov=cfg.optim.nesterov,
         )
         if pretrained_params is not None:
-            state = state.replace(
-                params=partial_restore(state.params, pretrained_params, verbose=True)
-            )
+            if isinstance(pretrained_params, tuple):  # (params, batch_stats)
+                p_tree, s_tree = pretrained_params
+                state = state.replace(
+                    params=partial_restore(state.params, p_tree, verbose=True),
+                    batch_stats=partial_restore(state.batch_stats, s_tree),
+                )
+            else:
+                state = state.replace(
+                    params=partial_restore(state.params, pretrained_params, verbose=True)
+                )
         self.state = replicate(state, self.mesh)
 
         self.scheduler = ReduceLROnPlateau(
