@@ -1,0 +1,101 @@
+"""Stereo + 3D CSPN path tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cspn_tpu.models.stereo import (
+    PSMNetCSPN,
+    build_cost_volume,
+    end_point_error,
+    smooth_l1_disparity_loss,
+)
+from cspn_tpu.ops.resize import resize_bilinear, resize_trilinear
+
+
+def test_cost_volume_shift_semantics(rng):
+    fl = jnp.asarray(rng.standard_normal((1, 4, 6, 2), dtype=np.float32))
+    fr = jnp.asarray(rng.standard_normal((1, 4, 6, 2), dtype=np.float32))
+    cv = build_cost_volume(fl, fr, 3)
+    assert cv.shape == (1, 3, 4, 6, 4)
+    # d=0: right features unshifted
+    np.testing.assert_array_equal(np.asarray(cv[0, 0, :, :, 2:]), np.asarray(fr[0]))
+    # d=2: col w gets right col w-2; cols 0..1 zero
+    np.testing.assert_array_equal(
+        np.asarray(cv[0, 2, :, 2:, 2:]), np.asarray(fr[0, :, :4])
+    )
+    assert np.asarray(cv[0, 2, :, :2, 2:]).sum() == 0
+    # left half always unshifted
+    np.testing.assert_array_equal(np.asarray(cv[0, 2, :, :, :2]), np.asarray(fl[0]))
+
+
+def test_resize_trilinear_recovers_constant():
+    x = jnp.full((1, 4, 6, 8, 2), 2.5)
+    y = resize_trilinear(x, (8, 12, 16))
+    assert y.shape == (1, 8, 12, 16, 2)
+    np.testing.assert_allclose(np.asarray(y), 2.5, rtol=1e-6)
+
+
+def test_resize_bilinear_shape():
+    x = jnp.ones((2, 10, 14, 3))
+    assert resize_bilinear(x, (20, 28)).shape == (2, 20, 28, 3)
+
+
+@pytest.mark.parametrize("use_cspn", [True, False])
+def test_stereo_model_forward(rng, use_cspn):
+    model = PSMNetCSPN(
+        max_disp=16, features=8, cspn_steps=2, use_cspn=use_cspn, train=False
+    )
+    left = jnp.asarray(rng.standard_normal((1, 32, 48, 3), dtype=np.float32))
+    right = jnp.asarray(rng.standard_normal((1, 32, 48, 3), dtype=np.float32))
+    variables = model.init(jax.random.PRNGKey(0), left, right)
+    disp = model.apply(variables, left, right)
+    assert disp.shape == (1, 32, 48)
+    d = np.asarray(disp)
+    assert np.isfinite(d).all()
+    assert (d >= 0).all() and (d <= 15.0 + 1e-4).all()  # convex comb of 0..D-1
+
+
+def test_stereo_loss_and_metrics(rng):
+    gt = jnp.asarray(np.abs(rng.standard_normal((2, 8, 8))).astype(np.float32) * 10)
+    pred = gt + 1.0
+    loss = float(smooth_l1_disparity_loss(pred, gt, 192.0))
+    assert loss == pytest.approx(0.5, rel=1e-5)  # |d|=1 -> 1 - 0.5
+    m = end_point_error(pred, gt, 192.0)
+    assert float(m["EPE"]) == pytest.approx(1.0, rel=1e-5)
+    assert float(m["3px"]) == 0.0
+
+
+@pytest.mark.slow
+def test_stereo_train_step_decreases_loss(rng):
+    import optax
+
+    model = PSMNetCSPN(max_disp=8, features=4, cspn_steps=1, train=True)
+    left = jnp.asarray(rng.standard_normal((1, 16, 24, 3), dtype=np.float32))
+    right = jnp.asarray(rng.standard_normal((1, 16, 24, 3), dtype=np.float32))
+    gt = jnp.asarray(rng.uniform(1, 7, (1, 16, 24)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), left, right)
+    params, stats = variables["params"], variables["batch_stats"]
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, stats, opt_state):
+        def loss_fn(p):
+            out, updates = model.apply(
+                {"params": p, "batch_stats": stats}, left, right,
+                mutable=["batch_stats"],
+            )
+            return smooth_l1_disparity_loss(out, gt, 8.0), updates
+
+        (loss, updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        upd, opt_state2 = opt.update(grads, opt_state)
+        return optax.apply_updates(params, upd), updates["batch_stats"], opt_state2, loss
+
+    losses = []
+    for _ in range(5):
+        params, stats, opt_state, loss = step(params, stats, opt_state)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
