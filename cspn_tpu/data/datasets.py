@@ -87,6 +87,7 @@ class _DepthCompletionDataset:
         n_sample: int = 500,
         seed: int | None = None,
         return_raw_rgb: bool = False,
+        use_native: bool = True,
     ):
         self.paths = read_manifest(csv_file)
         self.root_dir = root_dir
@@ -94,6 +95,7 @@ class _DepthCompletionDataset:
         self.n_sample = n_sample
         self.return_raw_rgb = return_raw_rgb
         self._seed = seed
+        self.use_native = use_native
 
     def __len__(self) -> int:
         return len(self.paths)
@@ -136,11 +138,36 @@ class _DepthCompletionDataset:
         if self.split == "train" and rng.random() < 0.5:
             rgb, depth = T.hflip(rgb), T.hflip(depth)
 
+        depth_raw = T.depth_to_array(depth)
+        inv_scale = (1.0 / s) if self.split == "train" else 1.0
+
+        packed = None
+        if self.use_native and not self.return_raw_rgb:
+            # fused native path: normalize + scale + sparse-sample + pack
+            # (native/host_pipeline.cpp); numpy fallback below is exact-equivalent
+            from cspn_tpu.data import native
+
+            if native.available():
+                if self.sparse_denom == "total":
+                    p = self.n_sample / depth_raw.size
+                else:
+                    n_valid = native.count_valid(depth_raw) or 1
+                    p = self.n_sample / max(n_valid, 1)
+                packed = native.pack_sample(
+                    np.asarray(rgb, dtype=np.uint8),
+                    depth_raw,
+                    inv_scale,
+                    min(p, 1.0),
+                    int(rng.integers(0, 2**63)),
+                )
+        if packed is not None:
+            rgbd, depth_arr = packed
+            sample = {"rgbd": rgbd, "depth": depth_arr}
+            return sample
+
         raw_rgb = T.rgb_to_array(rgb)
         rgb_arr = T.Normalize()(raw_rgb)
-        depth_arr = T.depth_to_array(depth)
-        if self.split == "train":
-            depth_arr = depth_arr / s
+        depth_arr = depth_raw * inv_scale
 
         sparse = create_sparse_depth(depth_arr, self.n_sample, rng, self.sparse_denom)
         rgbd = np.concatenate([rgb_arr, sparse[..., None]], axis=-1).astype(np.float32)
