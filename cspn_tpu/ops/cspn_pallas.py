@@ -198,6 +198,223 @@ def _cspn2d_pallas_impl(
     )(*args)
 
 
+# --- fused backward kernel -------------------------------------------------
+#
+# Reverse-mode through the linear recurrence x_{t+1} = keep*S(x_t) + base:
+#   - gate prep identical to the forward (signed G2 stored; abs taken at use
+#     for '8sum_abs' so the sign survives for the normalization backward),
+#   - forward replay with checkpoints every _CKPT steps (VMEM holds only
+#     ceil(T/_CKPT) checkpoint planes + one _CKPT-deep segment buffer),
+#   - per reverse step: ubar_dx = shift_W(keep*v, -dx) (2 lane shifts),
+#     gate-grad FMA into the (aliased) dguidance buffer, and the adjoint
+#     stencil accumulated per-row-offset into the padded xbar buffer,
+#   - epilogue: gate cotangents + the center-term (gate_sum) cotangent are
+#     pushed through the canvas normalization (quotient rule) and unshifted
+#     back to guidance coordinates.
+#
+# The guidance input is aliased with the gate-gradient output
+# (input_output_aliases), so training donates the guidance activation.
+
+_CKPT = 4
+
+
+def _bwd_kernel(
+    guid_ref,  # (8, H, W) in VMEM -- ALIASED with dguid_ref
+    blur_ref,  # (H, W)
+    sparse_ref,  # (H, W) or None
+    ct_ref,  # (H, W) cotangent of the output depth
+    dguid_ref,  # (8, H, W) out (same buffer as guid_ref)
+    dblur_ref,  # (H, W) out
+    g2_ref,  # (8, H, W) scratch: signed normalized lane-unshifted gates
+    inv_ref,  # (H, W) scratch: 1/A (0 where A == 0)
+    gsum_ref,  # (H, W) scratch
+    ckpt_ref,  # (S-1, H, W) scratch: x at segment starts (seg 0 start = blur)
+    seg_ref,  # (_CKPT, H+2, W) scratch: padded step inputs of one segment
+    xpad_ref,  # (H+2, W) scratch
+    *,
+    steps: int,
+    norm_abs: bool,
+):
+    h, w = blur_ref.shape
+    n_seg = -(-steps // _CKPT)
+
+    # ---- gate prep (signed) ----
+    xpad_ref[:] = jnp.zeros_like(xpad_ref)
+    for d, (dy, _) in enumerate(_OFFS):
+        xpad_ref[1 : h + 1, :] = guid_ref[d]
+        g2_ref[d] = xpad_ref[1 + dy : 1 + dy + h, :]
+    col_abs = {dx: sum(jnp.abs(g2_ref[d]) for d in ds) for dx, ds in _BY_DX.items()}
+    denom = col_abs[0] + _shift_w(col_abs[1], 1) + _shift_w(col_abs[-1], -1)
+    nonzero = denom > 0.0
+    inv = jnp.where(nonzero, 1.0 / jnp.where(nonzero, denom, 1.0), 0.0)
+    inv_ref[:] = inv
+    inv_by_dx = {0: inv, 1: _shift_w(inv, -1), -1: _shift_w(inv, 1)}
+    col_sum = {}
+    for dx, ds in _BY_DX.items():
+        acc = None
+        for d in ds:
+            g2 = g2_ref[d] * inv_by_dx[dx]
+            g2_ref[d] = g2  # signed normalized (lane-unshifted)
+            ge = jnp.abs(g2) if norm_abs else g2
+            acc = ge if acc is None else acc + ge
+        col_sum[dx] = acc
+    gsum_ref[:] = col_sum[0] + _shift_w(col_sum[1], 1) + _shift_w(col_sum[-1], -1)
+
+    def gate_eff(d):
+        return jnp.abs(g2_ref[d]) if norm_abs else g2_ref[d]
+
+    x0 = blur_ref[:]
+    if sparse_ref is not None:
+        m = jnp.sign(sparse_ref[:])
+        keep = 1.0 - m
+        base = keep * (1.0 - gsum_ref[:]) * x0 + m * x0
+    else:
+        keep = None
+        base = (1.0 - gsum_ref[:]) * x0
+
+    def fwd_step(xp):
+        """xp: padded (H+2, W) state -> new interior (H, W)."""
+        rows = {dy: xp[1 + dy : 1 + dy + h, :] for dy in (-1, 0, 1)}
+        u = {
+            dx: sum(gate_eff(d) * rows[_OFFS[d][0]] for d in ds)
+            for dx, ds in _BY_DX.items()
+        }
+        y = u[0] + _shift_w(u[1], 1) + _shift_w(u[-1], -1)
+        return (keep * y + base) if keep is not None else (y + base)
+
+    # ---- forward replay storing segment-start checkpoints ----
+    xpad_ref[:] = jnp.zeros_like(xpad_ref)
+    xpad_ref[1 : h + 1, :] = x0
+    for t in range(steps):
+        if t > 0 and t % _CKPT == 0:
+            ckpt_ref[t // _CKPT - 1] = xpad_ref[1 : h + 1, :]
+        xpad_ref[1 : h + 1, :] = fwd_step(xpad_ref)
+
+    # ---- reverse sweep ----
+    for d in range(8):
+        dguid_ref[d] = jnp.zeros((h, w), jnp.float32)  # holds G2bar during sweep
+    bbar = jnp.zeros((h, w), jnp.float32)
+    v = ct_ref[:]
+
+    for s in range(n_seg - 1, -1, -1):
+        t0 = s * _CKPT
+        seg_len = min(_CKPT, steps - t0)
+        # recompute the segment's step inputs x_{t0}..x_{t0+seg_len-1}
+        xpad_ref[:] = jnp.zeros_like(xpad_ref)
+        xpad_ref[1 : h + 1, :] = x0 if s == 0 else ckpt_ref[s - 1]
+        for k in range(seg_len):
+            seg_ref[k] = xpad_ref[:]
+            if k + 1 < seg_len:
+                xpad_ref[1 : h + 1, :] = fwd_step(xpad_ref)
+        for k in range(seg_len - 1, -1, -1):
+            bbar = bbar + v
+            wv = keep * v if keep is not None else v
+            ubar = {0: wv, 1: _shift_w(wv, -1), -1: _shift_w(wv, 1)}
+            # gate grads (into the aliased dguid buffer)
+            for d, (dy, dx) in enumerate(_OFFS):
+                dguid_ref[d] = dguid_ref[d] + ubar[dx] * seg_ref[k][1 + dy : 1 + dy + h, :]
+            # adjoint stencil: xbar rows grouped by dy
+            xpad_ref[:] = jnp.zeros_like(xpad_ref)
+            for dy in (-1, 0, 1):
+                contrib = sum(
+                    gate_eff(d) * ubar[_OFFS[d][1]]
+                    for d in range(8)
+                    if _OFFS[d][0] == dy
+                )
+                xpad_ref[1 + dy : 1 + dy + h, :] = (
+                    xpad_ref[1 + dy : 1 + dy + h, :] + contrib
+                )
+            v = xpad_ref[1 : h + 1, :]
+
+    # ---- epilogue: input gradients ----
+    if keep is not None:
+        dblur_ref[:] = v + bbar * (keep * (1.0 - gsum_ref[:]) + m)
+        gsumbar = -bbar * keep * x0
+    else:
+        dblur_ref[:] = v + bbar * (1.0 - gsum_ref[:])
+        gsumbar = -bbar * x0
+
+    # Ghatbar_d = G2bar_d shifted to gate coords, + center-term cotangent
+    ghatbar = [
+        _shift_w(dguid_ref[d], _OFFS[d][1]) + gsumbar for d in range(8)
+    ]
+    ghat = [_shift_w(g2_ref[d], _OFFS[d][1]) for d in range(8)]  # signed Ghat
+    if norm_abs:
+        t_sum = sum(gb * jnp.abs(g) for gb, g in zip(ghatbar, ghat))
+    else:
+        t_sum = sum(gb * g for gb, g in zip(ghatbar, ghat))
+    inv = inv_ref[:]
+    for d, (dy, dx) in enumerate(_OFFS):
+        sg = jnp.sign(ghat[d])
+        if norm_abs:
+            gbar_signed = (sg * ghatbar[d] - sg * t_sum) * inv
+        else:
+            gbar_signed = (ghatbar[d] - sg * t_sum) * inv
+        # unshift to guidance coordinates: dguid_d[p] = Gbar_d[p - delta_d]
+        back = _shift_w(gbar_signed, -dx)
+        xpad_ref[:] = jnp.zeros_like(xpad_ref)
+        xpad_ref[1 : h + 1, :] = back
+        dguid_ref[d] = xpad_ref[1 - dy : 1 - dy + h, :]
+
+
+def _bwd_kernel_nosparse(guid_ref, blur_ref, ct_ref, dguid_ref, dblur_ref,
+                         g2_ref, inv_ref, gsum_ref, ckpt_ref, seg_ref,
+                         xpad_ref, **kw):
+    _bwd_kernel(guid_ref, blur_ref, None, ct_ref, dguid_ref, dblur_ref,
+                g2_ref, inv_ref, gsum_ref, ckpt_ref, seg_ref, xpad_ref, **kw)
+
+
+def _cspn2d_bwd_pallas(guidance_cf, blur_depth, sparse_depth, ct, steps,
+                       norm_type, interpret):
+    """Per-image fused backward; batch handled with lax.map."""
+    n, _, h, w = guidance_cf.shape
+    use_sparse = sparse_depth is not None
+    n_seg = -(-steps // _CKPT)
+    kernel = functools.partial(
+        _bwd_kernel if use_sparse else _bwd_kernel_nosparse,
+        steps=steps,
+        norm_abs="abs" in norm_type,
+    )
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def one(args):
+        if use_sparse:
+            g, b, s, c = args
+            ins = (g, b, s, c)
+        else:
+            g, b, c = args
+            ins = (g, b, c)
+        return pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((8, h, w), jnp.float32),
+                jax.ShapeDtypeStruct((h, w), jnp.float32),
+            ),
+            in_specs=[vspec] * len(ins),
+            out_specs=(vspec, vspec),
+            scratch_shapes=[
+                pltpu.VMEM((8, h, w), jnp.float32),  # g2
+                pltpu.VMEM((h, w), jnp.float32),  # inv
+                pltpu.VMEM((h, w), jnp.float32),  # gsum
+                pltpu.VMEM((max(n_seg - 1, 1), h, w), jnp.float32),  # ckpt
+                pltpu.VMEM((_CKPT, h + 2, w), jnp.float32),  # seg
+                pltpu.VMEM((h + 2, w), jnp.float32),  # xpad
+            ],
+            input_output_aliases={0: 0},  # guidance buffer -> gate grads
+            interpret=interpret,
+        )(*ins)
+
+    g32 = guidance_cf.astype(jnp.float32)
+    b32 = blur_depth.astype(jnp.float32)
+    c32 = ct.astype(jnp.float32)
+    if use_sparse:
+        args = (g32, b32, sparse_depth.astype(jnp.float32), c32)
+    else:
+        args = (g32, b32, c32)
+    dg, db = jax.lax.map(one, args)
+    return dg, db
+
+
 # --- custom VJP: pallas forward, reference-rematerialized backward ---------
 
 
@@ -217,15 +434,10 @@ def _cspn2d_fwd(guidance_cf, blur_depth, sparse_depth, steps, norm_type, interpr
 
 def _cspn2d_bwd(steps, norm_type, interpret, residuals, ct):
     guidance_cf, blur_depth, sparse_depth = residuals
-
-    def ref_fn(g_cf, blur):
-        g_cl = jnp.moveaxis(g_cf, 1, -1)
-        return cspn_ref.cspn2d_reference(
-            g_cl, blur, sparse_depth, steps=steps, norm_type=norm_type
-        )
-
-    _, vjp = jax.vjp(ref_fn, guidance_cf, blur_depth)
-    dg, db = vjp(ct)
+    dg, db = _cspn2d_bwd_pallas(
+        guidance_cf, blur_depth, sparse_depth, ct, steps, norm_type, interpret
+    )
+    # sparse enters only through sign() -> zero gradient a.e. (matches torch)
     ds = jnp.zeros_like(sparse_depth) if sparse_depth is not None else None
     return dg, db, ds
 

@@ -35,14 +35,36 @@ def test_pallas_no_sparse_matches_oracle(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
 
 
-def test_pallas_grad_matches_oracle_grad(rng):
-    g, b, s = _inputs(rng, n=1, h=9, w=11)
+@pytest.mark.parametrize("norm_type", ["8sum", "8sum_abs"])
+@pytest.mark.parametrize("steps", [1, 4, 9])
+def test_pallas_grad_matches_oracle_grad(rng, norm_type, steps):
+    g, b, s = _inputs(rng, n=2, h=9, w=11)
 
     def loss_pallas(g, b):
-        return jnp.sum(cspn2d_pallas(g, b, s, steps=4, interpret=True) ** 2)
+        return jnp.sum(
+            cspn2d_pallas(g, b, s, steps=steps, norm_type=norm_type, interpret=True)
+            ** 2
+        )
 
     def loss_ref(g, b):
-        return jnp.sum(cspn_ref.cspn2d_reference(g, b, s, steps=4) ** 2)
+        return jnp.sum(
+            cspn_ref.cspn2d_reference(g, b, s, steps=steps, norm_type=norm_type) ** 2
+        )
+
+    dg_p, db_p = jax.grad(loss_pallas, argnums=(0, 1))(g, b)
+    dg_r, db_r = jax.grad(loss_ref, argnums=(0, 1))(g, b)
+    np.testing.assert_allclose(np.asarray(dg_p), np.asarray(dg_r), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(db_p), np.asarray(db_r), rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_grad_no_sparse(rng):
+    g, b, _ = _inputs(rng, n=1, h=9, w=11)
+
+    def loss_pallas(g, b):
+        return jnp.sum(cspn2d_pallas(g, b, None, steps=5, interpret=True) ** 2)
+
+    def loss_ref(g, b):
+        return jnp.sum(cspn_ref.cspn2d_reference(g, b, None, steps=5) ** 2)
 
     dg_p, db_p = jax.grad(loss_pallas, argnums=(0, 1))(g, b)
     dg_r, db_r = jax.grad(loss_ref, argnums=(0, 1))(g, b)
