@@ -48,16 +48,17 @@ class GudiUpProj(nn.Module):
     owidth: int
     train: bool = False
     axis_name: str | None = None
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         x = unpool2x(x, self.oheight, self.owidth)
-        out = conv(self.features, 5, name="conv1")(x)
-        out = nn.relu(BatchNorm(not self.train, self.axis_name, name="bn1")(out))
-        out = conv(self.features, 3, name="conv2")(out)
-        out = BatchNorm(not self.train, self.axis_name, name="bn2")(out)
-        sc = conv(self.features, 5, name="sc_conv1")(x)
-        sc = BatchNorm(not self.train, self.axis_name, name="sc_bn1")(sc)
+        out = conv(self.features, 5, dtype=self.dtype, name="conv1")(x)
+        out = nn.relu(BatchNorm(not self.train, self.axis_name, self.dtype, name="bn1")(out))
+        out = conv(self.features, 3, dtype=self.dtype, name="conv2")(out)
+        out = BatchNorm(not self.train, self.axis_name, self.dtype, name="bn2")(out)
+        sc = conv(self.features, 5, dtype=self.dtype, name="sc_conv1")(x)
+        sc = BatchNorm(not self.train, self.axis_name, self.dtype, name="sc_bn1")(sc)
         return nn.relu(out + sc)
 
 
@@ -69,19 +70,20 @@ class GudiUpProjCat(nn.Module):
     owidth: int
     train: bool = False
     axis_name: str | None = None
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, side_input):
         x = unpool2x(x, self.oheight, self.owidth)
-        out = conv(self.features, 5, name="conv1")(x)
-        out = nn.relu(BatchNorm(not self.train, self.axis_name, name="bn1")(out))
+        out = conv(self.features, 5, dtype=self.dtype, name="conv1")(x)
+        out = nn.relu(BatchNorm(not self.train, self.axis_name, self.dtype, name="bn1")(out))
         out = jnp.concatenate([out, side_input], axis=-1)
-        out = conv(self.features, 3, name="conv1_1")(out)
-        out = nn.relu(BatchNorm(not self.train, self.axis_name, name="bn1_1")(out))
-        out = conv(self.features, 3, name="conv2")(out)
-        out = BatchNorm(not self.train, self.axis_name, name="bn2")(out)
-        sc = conv(self.features, 5, name="sc_conv1")(x)
-        sc = BatchNorm(not self.train, self.axis_name, name="sc_bn1")(sc)
+        out = conv(self.features, 3, dtype=self.dtype, name="conv1_1")(out)
+        out = nn.relu(BatchNorm(not self.train, self.axis_name, self.dtype, name="bn1_1")(out))
+        out = conv(self.features, 3, dtype=self.dtype, name="conv2")(out)
+        out = BatchNorm(not self.train, self.axis_name, self.dtype, name="bn2")(out)
+        sc = conv(self.features, 5, dtype=self.dtype, name="sc_conv1")(x)
+        sc = BatchNorm(not self.train, self.axis_name, self.dtype, name="sc_bn1")(sc)
         return nn.relu(out + sc)
 
 
@@ -91,8 +93,9 @@ class GudiUpConvLast(nn.Module):
     features: int
     oheight: int
     owidth: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         x = unpool2x(x, self.oheight, self.owidth)
-        return conv(self.features, 3, name="conv1")(x)
+        return conv(self.features, 3, dtype=self.dtype, name="conv1")(x)

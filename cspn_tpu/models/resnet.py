@@ -23,10 +23,14 @@ import jax.numpy as jnp
 
 
 class BatchNorm(nn.Module):
-    """BatchNorm matching torch defaults (eps 1e-5, momentum 0.1)."""
+    """BatchNorm matching torch defaults (eps 1e-5, momentum 0.1).
+
+    `dtype` is the compute/output dtype (bf16 for mixed precision); statistics
+    and parameters stay float32 (flax accumulates in param_dtype)."""
 
     use_running_average: bool
     axis_name: str | None = None
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
@@ -35,11 +39,15 @@ class BatchNorm(nn.Module):
             momentum=0.9,
             epsilon=1e-5,
             axis_name=self.axis_name,
+            dtype=self.dtype,
         )(x)
 
 
-def conv(features: int, kernel: int, stride: int = 1, name: str | None = None):
-    """Bias-free conv with torch-style symmetric padding."""
+def conv(features: int, kernel: int, stride: int = 1, name: str | None = None,
+         dtype=None):
+    """Bias-free conv with torch-style symmetric padding.
+
+    `dtype=jnp.bfloat16` runs the MXU in bf16 (params stay float32)."""
     pad = (kernel - 1) // 2
     return nn.Conv(
         features,
@@ -48,6 +56,7 @@ def conv(features: int, kernel: int, stride: int = 1, name: str | None = None):
         padding=((pad, pad), (pad, pad)),
         use_bias=False,
         kernel_init=nn.initializers.he_normal(),
+        dtype=dtype,
         name=name,
     )
 
@@ -58,19 +67,20 @@ class BasicBlock(nn.Module):
     downsample: bool = False
     train: bool = False
     axis_name: str | None = None
+    dtype: object = None
     expansion: int = 1
 
     @nn.compact
     def __call__(self, x):
         residual = x
-        out = conv(self.planes, 3, self.stride, name="conv1")(x)
-        out = BatchNorm(not self.train, self.axis_name, name="bn1")(out)
+        out = conv(self.planes, 3, self.stride, name="conv1", dtype=self.dtype)(x)
+        out = BatchNorm(not self.train, self.axis_name, self.dtype, name="bn1")(out)
         out = nn.relu(out)
-        out = conv(self.planes, 3, name="conv2")(out)
-        out = BatchNorm(not self.train, self.axis_name, name="bn2")(out)
+        out = conv(self.planes, 3, name="conv2", dtype=self.dtype)(out)
+        out = BatchNorm(not self.train, self.axis_name, self.dtype, name="bn2")(out)
         if self.downsample:
-            residual = conv(self.planes, 1, self.stride, name="ds_conv")(x)
-            residual = BatchNorm(not self.train, self.axis_name, name="ds_bn")(residual)
+            residual = conv(self.planes, 1, self.stride, name="ds_conv", dtype=self.dtype)(x)
+            residual = BatchNorm(not self.train, self.axis_name, self.dtype, name="ds_bn")(residual)
         return nn.relu(out + residual)
 
 
@@ -80,22 +90,23 @@ class Bottleneck(nn.Module):
     downsample: bool = False
     train: bool = False
     axis_name: str | None = None
+    dtype: object = None
     expansion: int = 4
 
     @nn.compact
     def __call__(self, x):
         residual = x
-        out = conv(self.planes, 1, name="conv1")(x)
-        out = BatchNorm(not self.train, self.axis_name, name="bn1")(out)
+        out = conv(self.planes, 1, name="conv1", dtype=self.dtype)(x)
+        out = BatchNorm(not self.train, self.axis_name, self.dtype, name="bn1")(out)
         out = nn.relu(out)
-        out = conv(self.planes, 3, self.stride, name="conv2")(out)
-        out = BatchNorm(not self.train, self.axis_name, name="bn2")(out)
+        out = conv(self.planes, 3, self.stride, name="conv2", dtype=self.dtype)(out)
+        out = BatchNorm(not self.train, self.axis_name, self.dtype, name="bn2")(out)
         out = nn.relu(out)
-        out = conv(self.planes * 4, 1, name="conv3")(out)
-        out = BatchNorm(not self.train, self.axis_name, name="bn3")(out)
+        out = conv(self.planes * 4, 1, name="conv3", dtype=self.dtype)(out)
+        out = BatchNorm(not self.train, self.axis_name, self.dtype, name="bn3")(out)
         if self.downsample:
-            residual = conv(self.planes * 4, 1, self.stride, name="ds_conv")(x)
-            residual = BatchNorm(not self.train, self.axis_name, name="ds_bn")(residual)
+            residual = conv(self.planes * 4, 1, self.stride, name="ds_conv", dtype=self.dtype)(x)
+            residual = BatchNorm(not self.train, self.axis_name, self.dtype, name="ds_bn")(residual)
         return nn.relu(out + residual)
 
 
@@ -110,6 +121,7 @@ class ResNetEncoder(nn.Module):
     in_stem_features: int = 64
     train: bool = False
     axis_name: str | None = None
+    dtype: object = None
 
     @property
     def expansion(self) -> int:
@@ -126,10 +138,11 @@ class ResNetEncoder(nn.Module):
             padding=((3, 3), (3, 3)),
             use_bias=False,
             kernel_init=nn.initializers.he_normal(),
+            dtype=self.dtype,
             name="conv1_1",
         )(x)
         skips["skip4"] = x  # pre-BN stem output (reference forward :352-353)
-        x = BatchNorm(not self.train, self.axis_name, name="bn1")(x)
+        x = BatchNorm(not self.train, self.axis_name, self.dtype, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
@@ -146,6 +159,7 @@ class ResNetEncoder(nn.Module):
                     downsample=need_ds,
                     train=self.train,
                     axis_name=self.axis_name,
+                    dtype=self.dtype,
                     name=f"layer{stage + 1}_{b}",
                 )(x)
                 inplanes = planes * self.expansion
@@ -155,6 +169,6 @@ class ResNetEncoder(nn.Module):
                 skips["skip2"] = x
 
         # trailing conv2+bn2, no ReLU (reference :297-299, :366)
-        x = conv(512 * self.expansion, 3, name="conv2")(x)
-        x = BatchNorm(not self.train, self.axis_name, name="bn2")(x)
+        x = conv(512 * self.expansion, 3, name="conv2", dtype=self.dtype)(x)
+        x = BatchNorm(not self.train, self.axis_name, self.dtype, name="bn2")(x)
         return x, skips

@@ -51,6 +51,9 @@ class CSPNUNet(nn.Module):
     # post-process runs spatially sharded with halo exchange (parallel/halo.py)
     spatial_mesh: Any = None
     spatial_halo: int = 4
+    # mixed precision: compute dtype for the conv net (e.g. jnp.bfloat16);
+    # params stay float32 and the CSPN post-process always runs in float32
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -60,15 +63,18 @@ class CSPNUNet(nn.Module):
         sizes = ceil_half_chain(h, w, 5)
         e = 4 if self.block == "bottleneck" else 1
 
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         feats, skips = ResNetEncoder(
             block=self.block,
             layers=self.layers,
             train=self.train,
             axis_name=self.axis_name,
+            dtype=self.dtype,
             name="encoder",
         )(x)
 
-        kw = dict(train=self.train, axis_name=self.axis_name)
+        kw = dict(train=self.train, axis_name=self.axis_name, dtype=self.dtype)
         d = GudiUpProj(256 * e, *sizes[4], **kw, name="gud_up_proj_layer1")(feats)
         d = GudiUpProjCat(128 * e, *sizes[3], **kw, name="gud_up_proj_layer2")(
             d, skips["skip2"]
@@ -79,10 +85,14 @@ class CSPNUNet(nn.Module):
         d = GudiUpProjCat(64, *sizes[1], **kw, name="gud_up_proj_layer4")(
             d, skips["skip4"]
         )
-        blur_depth = GudiUpConvLast(1, *sizes[0], name="gud_up_proj_layer5")(d)[..., 0]
+        blur_depth = GudiUpConvLast(1, *sizes[0], dtype=self.dtype, name="gud_up_proj_layer5")(d)[
+            ..., 0
+        ].astype(jnp.float32)
         if not self.use_cspn:
             return blur_depth
-        guidance = GudiUpConvLast(8, *sizes[0], name="gud_up_proj_layer6")(d)
+        guidance = GudiUpConvLast(8, *sizes[0], dtype=self.dtype, name="gud_up_proj_layer6")(d).astype(
+            jnp.float32
+        )
         if self.spatial_mesh is not None:
             from cspn_tpu.parallel.halo import cspn2d_spatial
 
