@@ -30,6 +30,7 @@ def _add_common_overrides(p: argparse.ArgumentParser):
     p.add_argument("--cspn-norm-type", default=None, choices=["8sum", "8sum_abs"])
     p.add_argument("--cspn-backend", default=None,
                    choices=["auto", "pallas", "reference"])
+    p.add_argument("--dtype", default=None, choices=["float32", "bfloat16"])
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--num-epoch", type=int, default=None)
     p.add_argument("--loss", default=None, choices=["l1", "berhu"])
@@ -65,6 +66,7 @@ def _build_config(args):
         ("cspn_step", model, "cspn_steps"),
         ("cspn_norm_type", model, "cspn_norm_type"),
         ("cspn_backend", model, "cspn_backend"),
+        ("dtype", model, "dtype"),
         ("lr", optim, "lr"),
         ("num_epoch", optim, "num_epochs"),
         ("loss", optim, "loss"),

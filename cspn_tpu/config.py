@@ -23,6 +23,7 @@ class ModelConfig:
     cspn_steps: int = 24
     cspn_norm_type: str = "8sum"  # '8sum' | '8sum_abs'
     cspn_backend: str = "auto"
+    dtype: str = "float32"  # 'float32' | 'bfloat16' (mixed-precision convs)
 
 
 @dataclasses.dataclass

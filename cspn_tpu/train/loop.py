@@ -40,6 +40,7 @@ from cspn_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 
 def build_model(cfg: RunConfig, train: bool):
     block, layers = unet_lib._LAYERS[int(cfg.model.arch.replace("resnet", ""))]
+    dtype = jnp.bfloat16 if cfg.model.dtype in ("bfloat16", "bf16") else None
     return unet_lib.CSPNUNet(
         block=block,
         layers=layers,
@@ -48,6 +49,7 @@ def build_model(cfg: RunConfig, train: bool):
         use_cspn=cfg.model.use_cspn,
         train=train,
         cspn_backend=cfg.model.cspn_backend,
+        dtype=dtype,
     )
 
 
