@@ -41,6 +41,10 @@ def _add_common_overrides(p: argparse.ArgumentParser):
                    help="torch-format .pth with pretrained encoder weights")
     p.add_argument("--mesh-data", type=int, default=None)
     p.add_argument("--mesh-spatial", type=int, default=1)
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler device trace into this dir")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans (NaN-checking debug mode)")
 
 
 def _build_config(args):
@@ -97,6 +101,11 @@ def cmd_train(args):
     from cspn_tpu.train.factory import build_loaders
     from cspn_tpu.train.loop import Trainer
 
+    if getattr(args, "debug_nans", False):
+        from cspn_tpu.utils.profiling import debug_nans
+
+        debug_nans(True)
+
     mesh = make_mesh(data=cfg.mesh_data, spatial=cfg.mesh_spatial)
     train_loader, val_loader = build_loaders(cfg)
     pretrained = None
@@ -108,7 +117,13 @@ def cmd_train(args):
                       pretrained_params=pretrained)
     if cfg.resume:
         trainer.resume("best_model")
-    trainer.fit()
+    if getattr(args, "profile_dir", None):
+        from cspn_tpu.utils.profiling import trace
+
+        with trace(args.profile_dir):
+            trainer.fit()
+    else:
+        trainer.fit()
 
 
 def cmd_eval(args):

@@ -40,6 +40,37 @@ def unpool2x(x: jnp.ndarray, oheight: int, owidth: int) -> jnp.ndarray:
     return x[:, :oheight, :owidth, :]
 
 
+class UpProj(nn.Module):
+    """Classic up-projection block (reference UpProj_Block, :126-160).
+
+    The reference constructs these for its `up_proj_layer1..4` path
+    (:300-311) which the released forward() never calls; provided for full
+    architectural parity and for no-skip decoder variants.  When
+    (oheight, owidth) are 0 the block upsamples to exactly 2x like the
+    reference's scale branch (:143-146).
+    """
+
+    features: int
+    oheight: int = 0
+    owidth: int = 0
+    train: bool = False
+    axis_name: str | None = None
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x):
+        oh = self.oheight or 2 * x.shape[1]
+        ow = self.owidth or 2 * x.shape[2]
+        x = unpool2x(x, oh, ow)
+        out = conv(self.features, 5, dtype=self.dtype, name="conv1")(x)
+        out = nn.relu(BatchNorm(not self.train, self.axis_name, self.dtype, name="bn1")(out))
+        out = conv(self.features, 3, dtype=self.dtype, name="conv2")(out)
+        out = BatchNorm(not self.train, self.axis_name, self.dtype, name="bn2")(out)
+        sc = conv(self.features, 5, dtype=self.dtype, name="sc_conv1")(x)
+        sc = BatchNorm(not self.train, self.axis_name, self.dtype, name="sc_bn1")(sc)
+        return nn.relu(out + sc)
+
+
 class GudiUpProj(nn.Module):
     """Up-projection block without skip input (Gudi_UpProj_Block)."""
 

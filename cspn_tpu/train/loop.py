@@ -183,15 +183,19 @@ class Trainer:
         self.state = replicate(self.state, self.mesh)
 
     def train_epoch(self, epoch: int) -> dict:
+        from cspn_tpu.utils.profiling import StepTimer
+
         avg = _DeviceAverager()
+        timer = StepTimer(warmup=2)
         last_loss = 0.0
         for step, batch in enumerate(self.train_loader):
             sharded = shard_batch(
                 {"rgbd": batch["rgbd"], "depth": batch["depth"]}, self.mesh
             )
-            self.state, loss, error = self.train_step(
-                self.state, sharded["rgbd"], sharded["depth"]
-            )
+            with timer.step(batch["rgbd"].shape[0]):
+                self.state, loss, error = self.train_step(
+                    self.state, sharded["rgbd"], sharded["depth"]
+                )
             avg.update(error, batch["rgbd"].shape[0])
             if step % self.cfg.log_every == 0:
                 last_loss = float(loss)
@@ -203,6 +207,7 @@ class Trainer:
                     flush=True,
                 )
         error_avg = avg.average
+        print(f"epoch {epoch} train {timer.summary()}", flush=True)
         self.logger.log("train", epoch, self.scheduler.lr, False, error_avg)
         self.ckpt.save_epoch(
             ckpt_lib.state_to_tree(self.state, epoch, self.best_rmse, self.scheduler.lr),

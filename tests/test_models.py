@@ -85,3 +85,26 @@ def test_model_grad_flows_through_cspn(rng):
     g = jax.grad(loss)(variables["params"])
     gnorm = sum(float(jnp.sum(jnp.abs(l))) for l in jax.tree_util.tree_leaves(g))
     assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_upproj_block_2x(rng):
+    import jax
+    from cspn_tpu.models.decoder import UpProj
+
+    x = jnp.asarray(rng.standard_normal((1, 8, 10, 16), dtype=np.float32))
+    block = UpProj(features=8)
+    v = block.init(jax.random.PRNGKey(0), x)
+    y = block.apply(v, x)
+    assert y.shape == (1, 16, 20, 8)
+
+
+def test_step_timer_and_profiling_utils():
+    from cspn_tpu.utils.profiling import StepTimer
+
+    t = StepTimer(warmup=1)
+    for _ in range(4):
+        with t.step(batch_size=2):
+            pass
+    assert len(t.times) == 3
+    assert np.isfinite(t.frames_per_s)
+    assert "steps=3" in t.summary()
