@@ -25,37 +25,47 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _timed_call(fwd, variables, x, rng, iters):
-    """Median wall time of fully-forced calls on run-unique inputs.
+def _make_repeated(model, variables, repeats):
+    """jit-compiled chain of `repeats` model applications whose output feeds
+    back into the next input, so per-call device time is measured with the
+    host round-trip amortized 1/repeats and nothing loop-hoistable."""
+    import jax
+    import jax.numpy as jnp
 
-    The runtime tunnel caches repeated identical executions and its
-    block_until_ready is optimistic, so every call uses a fresh input value
-    (perturbed on-device) and completion is forced by fetching a scalar.
-    """
+    def chained(v, x):
+        def body(_, x):
+            y = model.apply(v, x)  # [N, H, W]
+            # couple the output back into the sparse channel (cheap, fused)
+            return x.at[..., 3].set(x[..., 3] * 0.999 + y * 1e-6)
+
+        return jax.lax.fori_loop(0, repeats, body, x)
+
+    return jax.jit(chained)
+
+
+def _timed_repeat(fn, variables, x, rng, repeats, trials=5):
     times = []
     xi = x + float(rng.uniform(1e-7, 1e-6))
-    float(fwd(variables, xi)[0, 0, 0])  # warm
-    for _ in range(iters):
+    float(fn(variables, xi)[0, 0, 0, 0])  # compile + warm
+    for _ in range(trials):
         xi = xi + float(rng.uniform(1e-7, 1e-6))
         t0 = time.time()
-        out = fwd(variables, xi)
-        float(out[0, 0, 0])
+        out = fn(variables, xi)
+        float(out[0, 0, 0, 0])
         times.append(time.time() - t0)
-    return float(np.median(times))
+    return float(np.median(times)) / repeats
 
 
-def bench_model(b_small=8, b_large=32, iters=12, steps=24):
-    """Per-backend frames/s via the two-batch slope method:
-    fps = (b_large - b_small) / (t_large - t_small), which cancels the
-    fixed per-call RPC overhead of the device tunnel."""
+def bench_model(batch=16, repeats=16, steps=24):
+    """Per-backend frames/s via on-device repetition (robust to the device
+    tunnel's per-call RPC overhead and execution caching)."""
     import jax
     import jax.numpy as jnp
 
     from cspn_tpu.models import cspn_unet_resnet50
 
     rng = np.random.default_rng()  # OS entropy: unique values per run
-    xs = jnp.asarray(rng.standard_normal((b_small, 228, 304, 4)), jnp.float32)
-    xl = jnp.asarray(rng.standard_normal((b_large, 228, 304, 4)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((batch, 228, 304, 4)), jnp.float32)
 
     results = {}
     variables = None
@@ -67,19 +77,14 @@ def bench_model(b_small=8, b_large=32, iters=12, steps=24):
         model = cspn_unet_resnet50(cspn_backend=backend_eff)
         if variables is None:
             t0 = time.time()
-            variables = jax.jit(model.init)(jax.random.PRNGKey(0), xs[:1])
+            variables = jax.jit(model.init)(jax.random.PRNGKey(0), x[:1])
             jax.block_until_ready(variables)
             log(f"init: {time.time() - t0:.1f}s")
-        fwd = jax.jit(lambda v, x, m=model: m.apply(v, x))
-        t_small = _timed_call(fwd, variables, xs, rng, iters)
-        t_large = _timed_call(fwd, variables, xl, rng, iters)
-        dt = max(t_large - t_small, 1e-6)
-        fps = (b_large - b_small) / dt
+        fn = _make_repeated(model, variables, repeats)
+        t = _timed_repeat(fn, variables, x, rng, repeats)
+        fps = batch / t
         results[backend] = fps
-        log(
-            f"{backend}: b{b_small}={t_small * 1e3:.1f}ms b{b_large}="
-            f"{t_large * 1e3:.1f}ms -> {fps:.1f} frames/s (slope)"
-        )
+        log(f"{backend}: {t * 1e3:.2f} ms/batch{batch} -> {fps:.1f} frames/s")
     return results
 
 

@@ -1,0 +1,223 @@
+"""Fused Pallas TPU kernel for 3D CSPN (paddle native-op semantics).
+
+One step at voxel p (26-neighborhood, per-pixel pre-normalized gates w):
+    y[p] = (1 - sum_d w_d[p]) x[p] + sum_d w_d[p] x[p + off_d]
+
+Unlike the 2D case, the gate volume (26 x D x H x W) exceeds VMEM, so a
+single whole-problem fusion is impossible; the schedule instead amortizes
+gate traffic over K steps at a time:
+
+  - the volume is tiled along H; each tile processes a window of
+    Hs + 2K rows (K-halo) for K consecutive steps entirely in VMEM,
+    so gates are read T/K times instead of T times (4-6x HBM saving),
+  - gates for the window are DMA'd from HBM in bf16 (they multiply a
+    f32 state; products accumulate in f32),
+  - W is the lane dimension; the 26 directions are grouped by their W
+    offset so each step costs two cross-lane shifts (same trick as the
+    2D kernel), with D/H offsets being cheap plane/sublane slices,
+  - inputs are zero-padded by K along H once per segment (XLA pad), which
+    both supplies the zero boundary semantics and keeps every DMA window
+    in-bounds.
+
+Gradients fall back to autodiff of the jnp reference (lax.scan).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cspn_tpu.ops import cspn_ref
+from cspn_tpu.ops.neighbors import neighbor_offsets
+
+_OFFS3 = neighbor_offsets(3, 3)  # 26 offsets (dz, dy, dx), raster order
+_BY_DX3 = {
+    dx: [d for d, o in enumerate(_OFFS3) if o[2] == dx] for dx in (-1, 0, 1)
+}
+
+
+def _shift_w(x, dx):
+    if dx == 0:
+        return x
+    zeros = jnp.zeros(x.shape[:-1] + (abs(dx),), x.dtype)
+    if dx > 0:
+        return jnp.concatenate([x[..., dx:], zeros], axis=-1)
+    return jnp.concatenate([zeros, x[..., :dx]], axis=-1)
+
+
+def _seg_kernel(
+    x_hbm,  # (D, H + 2K, W) f32, ANY/HBM (H pre-padded by K)
+    g_hbm,  # (26, D, H + 2K, W) bf16, ANY/HBM
+    out_ref,  # (D, Hs, W) f32 VMEM block (this tile's output rows)
+    xbuf,  # (D + 2, Hs + 2K + 2, W) f32 scratch (zero borders)
+    gbuf,  # (26, D, Hs + 2K, W) bf16 scratch
+    csum,  # (D, Hs + 2K, W) f32 scratch: 1 - sum_d w_d
+    sem,  # DMA semaphores (2,)
+    *,
+    k_steps: int,
+    hs: int,
+    halo: int,
+):
+    i = pl.program_id(0)
+    d_sz = out_ref.shape[0]
+    win = hs + 2 * halo
+    row0 = i * hs  # window start in the padded array
+
+    x_dma = pltpu.make_async_copy(
+        x_hbm.at[:, pl.ds(row0, win), :],
+        xbuf.at[1 : d_sz + 1, 1 : win + 1, :],
+        sem.at[0],
+    )
+    g_dma = pltpu.make_async_copy(
+        g_hbm.at[:, :, pl.ds(row0, win), :], gbuf, sem.at[1]
+    )
+    x_dma.start()
+    g_dma.start()
+    x_dma.wait()
+    g_dma.wait()
+
+    # zero the halo ring of xbuf (scratch persists across grid steps)
+    w = xbuf.shape[2]
+    xbuf[0, :, :] = jnp.zeros((win + 2, w), jnp.float32)
+    xbuf[d_sz + 1, :, :] = jnp.zeros((win + 2, w), jnp.float32)
+    xbuf[:, 0, :] = jnp.zeros((d_sz + 2, w), jnp.float32)
+    xbuf[:, win + 1, :] = jnp.zeros((d_sz + 2, w), jnp.float32)
+
+    # center weight (from the un-shifted gates): 1 - sum_d w_d
+    total = jnp.zeros((d_sz, win, w), jnp.float32)
+    for d in range(26):
+        total = total + gbuf[d].astype(jnp.float32)
+    csum[...] = 1.0 - total
+
+    # lane-unshift the dx != 0 gates once (amortized over k_steps):
+    # after this, gbuf[d][.., j] = w_d[.., j - dx_d], so the per-step W
+    # correction is a single shift of the accumulated column group.
+    for d, (_, _, dx) in enumerate(_OFFS3):
+        if dx != 0:
+            gbuf[d] = _shift_w(gbuf[d], -dx)
+
+    for _ in range(k_steps):
+        acc = {dx: jnp.zeros((d_sz, win, w), jnp.float32) for dx in (-1, 0, 1)}
+        for d, (dz, dy, dx) in enumerate(_OFFS3):
+            # neighbor read shifted in D (plane) and H (sublane); the W
+            # shift is applied to the whole column group below
+            nb = xbuf[1 + dz : 1 + dz + d_sz, 1 + dy : 1 + dy + win, :]
+            acc[dx] = acc[dx] + gbuf[d].astype(jnp.float32) * nb
+        y = (
+            csum[...] * xbuf[1 : d_sz + 1, 1 : win + 1, :]
+            + acc[0]
+            + _shift_w(acc[1], 1)
+            + _shift_w(acc[-1], -1)
+        )
+        xbuf[1 : d_sz + 1, 1 : win + 1, :] = y
+
+    out_ref[...] = xbuf[1 : d_sz + 1, 1 + halo : 1 + halo + hs, :]
+
+
+def _run_segment(x_pad, gates_bf16, *, k_steps, hs, halo, interpret):
+    """x_pad: (D, H+2K, W) f32; gates: (26, D, H+2K, W) bf16 -> (D, H, W)."""
+    d_sz, h_pad, w = x_pad.shape
+    h = h_pad - 2 * halo
+    n_tiles = -(-h // hs)
+    win = hs + 2 * halo
+    kernel = functools.partial(_seg_kernel, k_steps=k_steps, hs=hs, halo=halo)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        out_shape=jax.ShapeDtypeStruct((d_sz, h, w), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (d_sz, hs, w), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((d_sz + 2, win + 2, w), jnp.float32),
+            pltpu.VMEM((26, d_sz, win, w), jnp.bfloat16),
+            pltpu.VMEM((d_sz, win, w), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(x_pad, gates_bf16)
+
+
+def affinity_propagate3d_fused(
+    feat: jnp.ndarray,
+    gate_weight: jnp.ndarray,
+    *,
+    steps: int = 24,
+    k_per_segment: int = 4,
+    h_tile: int = 16,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Run `steps` 3D propagation steps with per-pixel normalized gates.
+
+    feat: [N, D, H, W] f32;  gate_weight: [N, 26, D, H, W] (normalized along
+    dim 1).  Matches `steps` iterations of affinity_propagate_reference.
+    """
+    if interpret is None:
+        try:
+            interpret = jax.devices()[0].platform != "tpu"
+        except RuntimeError:
+            interpret = True
+    n, d_sz, h, w = feat.shape
+    halo = k_per_segment
+    # H must tile evenly; pad up and mask (zero gates in padding keep zeros)
+    h_eff = -(-h // h_tile) * h_tile
+    pad_h = h_eff - h
+
+    def one(args):
+        x, g = args
+        gp = jnp.pad(
+            g, ((0, 0), (0, 0), (halo, halo + pad_h), (0, 0))
+        ).astype(jnp.bfloat16)
+        done = 0
+        while done < steps:
+            k = min(k_per_segment, steps - done)
+            xp = jnp.pad(x, ((0, 0), (halo, halo + pad_h), (0, 0)))
+            y = _run_segment(
+                xp, gp, k_steps=k, hs=h_tile, halo=halo, interpret=interpret
+            )
+            x = y[:, :h]
+            done += k
+        return x
+
+    return jax.lax.map(one, (feat.astype(jnp.float32), gate_weight))
+
+
+def cspn3d_fused(
+    guide: jnp.ndarray,
+    feat: jnp.ndarray,
+    *,
+    steps: int = 24,
+    k_per_segment: int = 4,
+    h_tile: int = 16,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Multi-step 3D CSPN module (paddle demo semantics, demo.py:20-54) with
+    the fused segmented kernel.  guide: [N, D, H, W, C*26] (abs +
+    per-channel-group sum-normalized here); feat: [N, D, H, W, C]."""
+    c = feat.shape[-1]
+    guide = jnp.abs(guide)
+    outs = []
+    for ch in range(c):
+        wg = guide[..., ch * 26 : (ch + 1) * 26]
+        wg = wg / jnp.maximum(jnp.sum(wg, axis=-1, keepdims=True), 1e-12)
+        wg = jnp.moveaxis(wg, -1, 1)  # [N, 26, D, H, W]
+        x = feat[..., ch]
+        outs.append(
+            affinity_propagate3d_fused(
+                x,
+                wg,
+                steps=steps,
+                k_per_segment=k_per_segment,
+                h_tile=h_tile,
+                interpret=interpret,
+            )
+        )
+    return jnp.stack(outs, axis=-1)

