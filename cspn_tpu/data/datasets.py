@@ -193,6 +193,59 @@ class KittiDataset(_DepthCompletionDataset):
     box_crop = (10, 1210, 130, 370)
 
 
+class SyntheticStereoDataset:
+    """Procedural stereo fixture: left/right views of a random smooth
+    disparity field (right = left warped by disparity along W), used by the
+    stereo trainer's tests and smoke runs.  Samples:
+        {'left': [H,W,3], 'right': [H,W,3], 'disp': [H,W]}
+    """
+
+    def __init__(
+        self,
+        length: int = 32,
+        hw: tuple[int, int] = (64, 96),
+        max_disp: int = 16,
+        seed: int = 0,
+    ):
+        self.length = length
+        self.hw = hw
+        self.max_disp = max_disp
+        self.seed = seed
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, idx: int) -> dict[str, np.ndarray]:
+        h, w = self.hw
+        rng = np.random.default_rng((self.seed, idx))
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        disp = np.full((h, w), self.max_disp / 4.0, np.float32)
+        for _ in range(4):
+            cy, cx = rng.uniform(0, h), rng.uniform(0, w)
+            sy, sx = rng.uniform(h / 6, h / 2), rng.uniform(w / 6, w / 2)
+            amp = rng.uniform(0, self.max_disp / 3.0)
+            disp += amp * np.exp(
+                -(((yy - cy) / sy) ** 2 + ((xx - cx) / sx) ** 2)
+            ).astype(np.float32)
+        disp = np.clip(disp, 1.0, self.max_disp - 1.0)
+        left = rng.random((h, w, 3)).astype(np.float32)
+        # smooth the texture a bit so matching is learnable
+        left = 0.25 * (
+            left
+            + np.roll(left, 1, 0)
+            + np.roll(left, 1, 1)
+            + np.roll(left, -1, 1)
+        )
+        # right[x] = left[x + ... ]: left pixel x appears at x - d in the right
+        src = np.clip(xx + disp, 0, w - 1).astype(np.int64)
+        right = left[np.arange(h)[:, None], src]
+        return {
+            "left": left.astype(np.float32),
+            "right": right.astype(np.float32),
+            "disp": disp,
+        }
+
+
 class SyntheticDepthDataset:
     """Procedural RGBD fixture dataset (no files needed): smooth random depth
     surfaces + shading-derived RGB.  Deterministic per (seed, idx).  Used by

@@ -22,6 +22,7 @@ hard-coded (:314-319).
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from cspn_tpu.models.resnet import BatchNorm, conv
@@ -38,6 +39,81 @@ def unpool2x(x: jnp.ndarray, oheight: int, owidth: int) -> jnp.ndarray:
     # interleave along H: [N, H, 2, 2W, C] -> [N, 2H, 2W, C]
     x = jnp.stack([x, z], axis=2).reshape(n, 2 * h, 2 * w, c)
     return x[:, :oheight, :owidth, :]
+
+
+def _depth_to_space2(v: jnp.ndarray, cout: int) -> jnp.ndarray:
+    """[N, H, W, 4*cout] (channel = (py*2+px)*cout + c) -> [N, 2H, 2W, cout]."""
+    n, h, w, _ = v.shape
+    v = v.reshape(n, h, w, 2, 2, cout)
+    return v.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * w, cout)
+
+
+def _subpixel_weights(w: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Reindex a k x k kernel (HWIO) applied to a zero-inserted 2x upsample
+    into an S x S kernel at half resolution producing 4 phase groups
+    (S = k//2 + 1).  Output channel layout: (py*2+px)*cout + c."""
+    kh = k // 2
+    s_lo = -1 if k >= 5 else 0  # source-offset range: k=5 -> {-1,0,1}, k=3 -> {0,1}
+    size = kh + 1
+    cin, cout = w.shape[2], w.shape[3]
+    w2 = jnp.zeros((size, size, cin, 4 * cout), w.dtype)
+    for si in range(size):
+        for ti in range(size):
+            s, t = si + s_lo, ti + s_lo
+            for py in range(2):
+                for px in range(2):
+                    dy, dx = 2 * s - py, 2 * t - px
+                    if abs(dy) <= kh and abs(dx) <= kh:
+                        ph = (py * 2 + px) * cout
+                        w2 = w2.at[si, ti, :, ph : ph + cout].set(
+                            w[dy + kh, dx + kh]
+                        )
+    return w2
+
+
+class SubpixelUnpoolConv(nn.Module):
+    """`unpool2x -> crop -> k x k conv` computed as ONE half-resolution conv
+    plus depth-to-space -- exactly equivalent, ~3-4x cheaper on TPU.
+
+    Equivalence: the zero-inserted rows/cols of the unpooled map contribute
+    nothing, so each of the 4 output phases only reads a small sub-kernel of
+    the original weights at source pixels {i-1..i+1} (k=5) or {i, i+1}
+    (k=3); cropping an odd final row/col before vs after the conv is
+    identical because that row is an inserted zero row.  The parameter is
+    named/shaped like the plain conv (`kernel`, (k,k,cin,cout)), so state
+    dicts are interchangeable with the unfused path.
+    """
+
+    features: int
+    kernel: int
+    oheight: int
+    owidth: int
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        k = self.kernel
+        w = self.param(
+            "kernel",
+            nn.initializers.he_normal(),
+            (k, k, cin, self.features),
+            jnp.float32,
+        )
+        w2 = _subpixel_weights(w, k)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            w2 = w2.astype(self.dtype)
+        pad = (1, 1) if k >= 5 else (0, 1)
+        y = jax.lax.conv_general_dilated(
+            x,
+            w2,
+            window_strides=(1, 1),
+            padding=(pad, pad),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        y = _depth_to_space2(y, self.features)
+        return y[:, : self.oheight, : self.owidth, :]
 
 
 class UpProj(nn.Module):
@@ -80,15 +156,22 @@ class GudiUpProj(nn.Module):
     train: bool = False
     axis_name: str | None = None
     dtype: object = None
+    subpixel: bool = True  # fused unpool+conv (identical math, ~3x faster)
 
     @nn.compact
     def __call__(self, x):
-        x = unpool2x(x, self.oheight, self.owidth)
-        out = conv(self.features, 5, dtype=self.dtype, name="conv1")(x)
+        if self.subpixel:
+            out = SubpixelUnpoolConv(self.features, 5, self.oheight, self.owidth,
+                                     dtype=self.dtype, name="conv1")(x)
+            sc = SubpixelUnpoolConv(self.features, 5, self.oheight, self.owidth,
+                                    dtype=self.dtype, name="sc_conv1")(x)
+        else:
+            x = unpool2x(x, self.oheight, self.owidth)
+            out = conv(self.features, 5, dtype=self.dtype, name="conv1")(x)
+            sc = conv(self.features, 5, dtype=self.dtype, name="sc_conv1")(x)
         out = nn.relu(BatchNorm(not self.train, self.axis_name, self.dtype, name="bn1")(out))
         out = conv(self.features, 3, dtype=self.dtype, name="conv2")(out)
         out = BatchNorm(not self.train, self.axis_name, self.dtype, name="bn2")(out)
-        sc = conv(self.features, 5, dtype=self.dtype, name="sc_conv1")(x)
         sc = BatchNorm(not self.train, self.axis_name, self.dtype, name="sc_bn1")(sc)
         return nn.relu(out + sc)
 
@@ -102,18 +185,25 @@ class GudiUpProjCat(nn.Module):
     train: bool = False
     axis_name: str | None = None
     dtype: object = None
+    subpixel: bool = True
 
     @nn.compact
     def __call__(self, x, side_input):
-        x = unpool2x(x, self.oheight, self.owidth)
-        out = conv(self.features, 5, dtype=self.dtype, name="conv1")(x)
+        if self.subpixel:
+            out = SubpixelUnpoolConv(self.features, 5, self.oheight, self.owidth,
+                                     dtype=self.dtype, name="conv1")(x)
+            sc = SubpixelUnpoolConv(self.features, 5, self.oheight, self.owidth,
+                                    dtype=self.dtype, name="sc_conv1")(x)
+        else:
+            x = unpool2x(x, self.oheight, self.owidth)
+            out = conv(self.features, 5, dtype=self.dtype, name="conv1")(x)
+            sc = conv(self.features, 5, dtype=self.dtype, name="sc_conv1")(x)
         out = nn.relu(BatchNorm(not self.train, self.axis_name, self.dtype, name="bn1")(out))
         out = jnp.concatenate([out, side_input], axis=-1)
         out = conv(self.features, 3, dtype=self.dtype, name="conv1_1")(out)
         out = nn.relu(BatchNorm(not self.train, self.axis_name, self.dtype, name="bn1_1")(out))
         out = conv(self.features, 3, dtype=self.dtype, name="conv2")(out)
         out = BatchNorm(not self.train, self.axis_name, self.dtype, name="bn2")(out)
-        sc = conv(self.features, 5, dtype=self.dtype, name="sc_conv1")(x)
         sc = BatchNorm(not self.train, self.axis_name, self.dtype, name="sc_bn1")(sc)
         return nn.relu(out + sc)
 
@@ -125,8 +215,12 @@ class GudiUpConvLast(nn.Module):
     oheight: int
     owidth: int
     dtype: object = None
+    subpixel: bool = True
 
     @nn.compact
     def __call__(self, x):
+        if self.subpixel:
+            return SubpixelUnpoolConv(self.features, 3, self.oheight, self.owidth,
+                                      dtype=self.dtype, name="conv1")(x)
         x = unpool2x(x, self.oheight, self.owidth)
         return conv(self.features, 3, dtype=self.dtype, name="conv1")(x)
