@@ -69,12 +69,17 @@ def bench_model(batch=16, repeats=16, steps=24):
 
     results = {}
     variables = None
+    # 'reference' = the naive translation of the reference to XLA: plain
+    # unpool-then-conv decoder + composed CSPN; 'pallas' = the TPU-native
+    # design (sub-pixel decoder + fused CSPN kernel). Identical math/params.
     for backend in ("pallas", "reference"):
         if jax.devices()[0].platform != "tpu" and backend == "pallas":
             backend_eff = "reference"  # no TPU: measure reference twice
         else:
             backend_eff = backend
-        model = cspn_unet_resnet50(cspn_backend=backend_eff)
+        model = cspn_unet_resnet50(
+            cspn_backend=backend_eff, subpixel=backend == "pallas"
+        )
         if variables is None:
             t0 = time.time()
             variables = jax.jit(model.init)(jax.random.PRNGKey(0), x[:1])

@@ -54,6 +54,9 @@ class CSPNUNet(nn.Module):
     # mixed precision: compute dtype for the conv net (e.g. jnp.bfloat16);
     # params stay float32 and the CSPN post-process always runs in float32
     dtype: Any = None
+    # fused sub-pixel unpool+conv decoder (identical math; False = the naive
+    # unpool-then-conv composition, kept as the translation baseline)
+    subpixel: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -74,7 +77,8 @@ class CSPNUNet(nn.Module):
             name="encoder",
         )(x)
 
-        kw = dict(train=self.train, axis_name=self.axis_name, dtype=self.dtype)
+        kw = dict(train=self.train, axis_name=self.axis_name, dtype=self.dtype,
+                  subpixel=self.subpixel)
         d = GudiUpProj(256 * e, *sizes[4], **kw, name="gud_up_proj_layer1")(feats)
         d = GudiUpProjCat(128 * e, *sizes[3], **kw, name="gud_up_proj_layer2")(
             d, skips["skip2"]
@@ -85,14 +89,16 @@ class CSPNUNet(nn.Module):
         d = GudiUpProjCat(64, *sizes[1], **kw, name="gud_up_proj_layer4")(
             d, skips["skip4"]
         )
-        blur_depth = GudiUpConvLast(1, *sizes[0], dtype=self.dtype, name="gud_up_proj_layer5")(d)[
-            ..., 0
-        ].astype(jnp.float32)
+        blur_depth = GudiUpConvLast(
+            1, *sizes[0], dtype=self.dtype, subpixel=self.subpixel,
+            name="gud_up_proj_layer5",
+        )(d)[..., 0].astype(jnp.float32)
         if not self.use_cspn:
             return blur_depth
-        guidance = GudiUpConvLast(8, *sizes[0], dtype=self.dtype, name="gud_up_proj_layer6")(d).astype(
-            jnp.float32
-        )
+        guidance = GudiUpConvLast(
+            8, *sizes[0], dtype=self.dtype, subpixel=self.subpixel,
+            name="gud_up_proj_layer6",
+        )(d).astype(jnp.float32)
         if self.spatial_mesh is not None:
             from cspn_tpu.parallel.halo import cspn2d_spatial
 
