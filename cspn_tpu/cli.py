@@ -178,6 +178,33 @@ def _demo_step(params, opt_state, loss_fn, opt):
     return params, opt_state, loss
 
 
+def cmd_train_stereo(args):
+    """Train the PSMNet+3D-CSPN stereo model (synthetic data unless a
+    Scene-Flow-style loader is pointed at real files)."""
+    from cspn_tpu.data import DataLoader
+    from cspn_tpu.data.datasets import SyntheticStereoDataset
+    from cspn_tpu.train.stereo_loop import StereoConfig, StereoTrainer
+
+    cfg = StereoConfig(
+        max_disp=args.max_disp,
+        features=args.features,
+        cspn_steps=args.prop_step,
+        use_cspn=not args.no_cspn,
+        lr=args.lr,
+        num_epochs=args.num_epoch,
+        batch_size=args.batch_size,
+        save_dir=args.save_dir,
+    )
+    train_ds = SyntheticStereoDataset(length=args.train_size, hw=(args.height, args.width),
+                                      max_disp=cfg.max_disp, seed=0)
+    val_ds = SyntheticStereoDataset(length=max(args.train_size // 4, 2),
+                                    hw=(args.height, args.width),
+                                    max_disp=cfg.max_disp, seed=1)
+    train_loader = DataLoader(train_ds, cfg.batch_size, shuffle=True, drop_last=True)
+    val_loader = DataLoader(val_ds, cfg.batch_size)
+    StereoTrainer(cfg, train_loader, val_loader).fit()
+
+
 def cmd_bench(args):
     del args
     import runpy
@@ -210,6 +237,21 @@ def main(argv=None):
     p_demo.add_argument("--batch-size", type=int, default=3)
     p_demo.add_argument("--iter-num", type=int, default=20)
     p_demo.set_defaults(fn=cmd_demo)
+
+    p_st = sub.add_parser("train-stereo",
+                          help="train the PSMNet + 3D-CSPN stereo model")
+    p_st.add_argument("--max-disp", type=int, default=64)
+    p_st.add_argument("--features", type=int, default=16)
+    p_st.add_argument("--prop-step", type=int, default=12)
+    p_st.add_argument("--no-cspn", action="store_true")
+    p_st.add_argument("--lr", type=float, default=1e-3)
+    p_st.add_argument("--num-epoch", type=int, default=5)
+    p_st.add_argument("--batch-size", type=int, default=2)
+    p_st.add_argument("--height", type=int, default=64)
+    p_st.add_argument("--width", type=int, default=96)
+    p_st.add_argument("--train-size", type=int, default=32)
+    p_st.add_argument("--save-dir", default="result/stereo_cspn")
+    p_st.set_defaults(fn=cmd_train_stereo)
 
     p_bench = sub.add_parser("bench", help="run the throughput benchmark")
     p_bench.set_defaults(fn=cmd_bench)

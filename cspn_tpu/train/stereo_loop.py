@@ -1,0 +1,166 @@
+"""Stereo training driver (BASELINE config 5: PSMNet-style + 3D CSPN).
+
+The reference's stereo trainer was never released (cspn_paddle/README.md
+documents the CLI only, :104-151); this driver provides the capability with
+the same runtime structure as the depth-completion Trainer: jitted donated
+train step, data-parallel mesh sharding, Orbax checkpoints, TSV logs,
+best-EPE tracking.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from cspn_tpu.models.stereo import (
+    PSMNetCSPN,
+    end_point_error,
+    smooth_l1_disparity_loss,
+)
+from cspn_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from cspn_tpu.train import checkpoint as ckpt_lib
+from cspn_tpu.train.state import TrainState, make_optimizer
+
+
+@dataclasses.dataclass
+class StereoConfig:
+    max_disp: int = 192
+    features: int = 32
+    cspn_steps: int = 24
+    use_cspn: bool = True
+    lr: float = 1e-3
+    num_epochs: int = 10
+    batch_size: int = 4
+    save_dir: str = "result/stereo_cspn"
+
+
+def build_stereo_model(cfg: StereoConfig, train: bool) -> PSMNetCSPN:
+    return PSMNetCSPN(
+        max_disp=cfg.max_disp,
+        features=cfg.features,
+        cspn_steps=cfg.cspn_steps,
+        use_cspn=cfg.use_cspn,
+        train=train,
+    )
+
+
+def make_stereo_train_step(model: PSMNetCSPN, max_disp: float):
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, left, right, disp):
+        def loss_fn(params):
+            out, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                left,
+                right,
+                mutable=["batch_stats"],
+            )
+            return smooth_l1_disparity_loss(out, disp, max_disp), (out, updates)
+
+        (loss, (out, updates)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        state = state.apply_gradients(grads=grads).replace(
+            batch_stats=updates["batch_stats"]
+        )
+        return state, loss, end_point_error(out, disp, max_disp)
+
+    return step
+
+
+def make_stereo_eval_step(model: PSMNetCSPN, max_disp: float):
+    @jax.jit
+    def step(state: TrainState, left, right, disp):
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats}, left, right
+        )
+        return out, smooth_l1_disparity_loss(out, disp, max_disp), end_point_error(
+            out, disp, max_disp
+        )
+
+    return step
+
+
+class StereoTrainer:
+    def __init__(self, cfg: StereoConfig, train_loader, val_loader, mesh=None):
+        self.cfg = cfg
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.mesh = mesh if mesh is not None else make_mesh(spatial=1)
+        self.model_train = build_stereo_model(cfg, True)
+        self.model_eval = build_stereo_model(cfg, False)
+
+        sample = next(iter(val_loader))
+        left = jnp.asarray(sample["left"][:1])
+        right = jnp.asarray(sample["right"][:1])
+        variables = self.model_train.init(jax.random.PRNGKey(0), left, right)
+        state = TrainState.create(
+            apply_fn=self.model_train.apply,
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            tx=make_optimizer(cfg.lr, momentum=0.9, weight_decay=1e-4,
+                              nesterov=False),
+        )
+        self.state = replicate(state, self.mesh)
+        self.train_step = make_stereo_train_step(self.model_train, cfg.max_disp)
+        self.eval_step = make_stereo_eval_step(self.model_eval, cfg.max_disp)
+        self.ckpt = ckpt_lib.CheckpointManager(cfg.save_dir)
+        self.best_epe = float("inf")
+        self.epoch = 0
+
+    def train_epoch(self, epoch: int) -> float:
+        losses = []
+        for batch in self.train_loader:
+            b = shard_batch(
+                {k: batch[k] for k in ("left", "right", "disp")}, self.mesh
+            )
+            self.state, loss, _ = self.train_step(
+                self.state, b["left"], b["right"], b["disp"]
+            )
+            losses.append(loss)
+        mean_loss = float(jnp.mean(jnp.stack(losses)))
+        print(f"stereo epoch {epoch}: train loss {mean_loss:.4f}", flush=True)
+        return mean_loss
+
+    def validate(self, epoch: int) -> dict:
+        epes, px3s = [], []
+        for batch in self.val_loader:
+            _, _, m = self.eval_step(
+                self.state,
+                jnp.asarray(batch["left"]),
+                jnp.asarray(batch["right"]),
+                jnp.asarray(batch["disp"]),
+            )
+            epes.append(m["EPE"])
+            px3s.append(m["3px"])
+        epe = float(jnp.mean(jnp.stack(epes)))
+        px3 = float(jnp.mean(jnp.stack(px3s)))
+        print(f"stereo epoch {epoch}: val EPE {epe:.3f} 3px {px3:.4f}", flush=True)
+        if epe < self.best_epe:
+            self.best_epe = epe
+            self.ckpt.save_best(
+                {
+                    "params": self.state.params,
+                    "batch_stats": self.state.batch_stats,
+                    "epoch": np.asarray(epoch),
+                    "best_epe": np.asarray(self.best_epe),
+                }
+            )
+        return {"EPE": epe, "3px": px3}
+
+    def fit(self, num_epochs: Optional[int] = None) -> dict:
+        num_epochs = num_epochs or self.cfg.num_epochs
+        result = {}
+        for epoch in range(self.epoch, num_epochs):
+            t0 = time.time()
+            self.train_epoch(epoch)
+            result = self.validate(epoch)
+            self.epoch = epoch + 1
+            print(f"stereo epoch {epoch} done in {time.time() - t0:.1f}s", flush=True)
+        return result

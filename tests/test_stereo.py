@@ -99,3 +99,34 @@ def test_stereo_train_step_decreases_loss(rng):
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+@pytest.mark.slow
+def test_stereo_trainer_end_to_end(tmp_path):
+    from cspn_tpu.data import DataLoader
+    from cspn_tpu.data.datasets import SyntheticStereoDataset
+    from cspn_tpu.train.stereo_loop import StereoConfig, StereoTrainer
+
+    cfg = StereoConfig(
+        max_disp=8, features=4, cspn_steps=2, num_epochs=2, batch_size=2,
+        save_dir=str(tmp_path / "stereo"),
+    )
+    from cspn_tpu.parallel import make_mesh
+
+    ds = SyntheticStereoDataset(length=8, hw=(32, 48), max_disp=8)
+    tl = DataLoader(ds, 2, shuffle=True, drop_last=True, num_workers=2)
+    vl = DataLoader(ds, 2, num_workers=2)
+    trainer = StereoTrainer(cfg, tl, vl, mesh=make_mesh(data=2, spatial=1))
+    result = trainer.fit()
+    assert np.isfinite(result["EPE"])
+    assert trainer.ckpt.has("best_model")
+
+
+def test_synthetic_stereo_dataset_geometry():
+    from cspn_tpu.data.datasets import SyntheticStereoDataset
+
+    s = SyntheticStereoDataset(length=2, hw=(20, 30), max_disp=8)[0]
+    assert s["left"].shape == (20, 30, 3)
+    assert s["right"].shape == (20, 30, 3)
+    assert s["disp"].shape == (20, 30)
+    assert (s["disp"] >= 1.0).all() and (s["disp"] <= 7.0).all()
