@@ -106,8 +106,11 @@ def cmd_train(args):
 
         debug_nans(True)
 
+    from cspn_tpu.parallel.distributed import host_shard, initialize_multihost
+
+    initialize_multihost()
     mesh = make_mesh(data=cfg.mesh_data, spatial=cfg.mesh_spatial)
-    train_loader, val_loader = build_loaders(cfg)
+    train_loader, val_loader = build_loaders(cfg, shard=host_shard())
     pretrained = None
     if cfg.pretrained_path:
         from cspn_tpu.models.torch_import import load_torch_encoder_params
