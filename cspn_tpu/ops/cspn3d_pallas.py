@@ -19,7 +19,14 @@ gate traffic over K steps at a time:
     both supplies the zero boundary semantics and keeps every DMA window
     in-bounds.
 
-Gradients fall back to autodiff of the jnp reference (lax.scan).
+Gradients fall back to autodiff of the jnp reference.
+
+Status note (TPU v5e, 48x64x128, 24 steps, C=1): this kernel measures
+~3.4 ms/volume vs ~0.75 ms for the unrolled XLA form (cspn_ref), because the
+bf16 gate conversions + halo recompute outweigh the HBM saving at this
+shape; the public `cspn_nd` therefore dispatches to the XLA form.  The
+kernel is kept (tested in tests/test_cspn3d_pallas.py) as the starting point
+for shapes/dtypes where gate streaming dominates.
 """
 
 from __future__ import annotations

@@ -16,7 +16,7 @@ Two families, matching the two ops in the reference repo:
    one gather step per call with center weight `1 - sum(gates)` (zero for
    abs-normalized gates), channel-shared gates, 2D or 3D.
 
-Everything here is jit-able, differentiable through `lax.scan`, and runs on
+Everything here is jit-able, differentiable (steps unrolled), and runs on
 any backend.  The Pallas kernels in cspn_pallas.py are verified against these.
 
 Layout convention: channels-LAST (TPU native).
@@ -29,7 +29,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 from cspn_tpu.ops.neighbors import OFFSETS_2D_REFERENCE, neighbor_offsets, shift
 

@@ -48,7 +48,9 @@ def make_optimizer(
 def create_train_state(
     model, rng, sample_input, learning_rate: float = 0.01, **opt_kw
 ) -> TrainState:
-    variables = model.init(rng, sample_input)
+    # jit the init: eager init issues one tiny dispatch per parameter, which
+    # is pathologically slow over remote-device transports
+    variables = jax.jit(model.init)(rng, sample_input)
     return TrainState.create(
         apply_fn=model.apply,
         params=variables["params"],
