@@ -208,6 +208,14 @@ def cmd_train_stereo(args):
     StereoTrainer(cfg, train_loader, val_loader).fit()
 
 
+def cmd_make_manifest(args):
+    from cspn_tpu.data.manifest import make_manifest
+
+    n = make_manifest(args.data_dir, args.out, pattern=args.pattern,
+                      relative_to=args.relative_to)
+    print(f"wrote {n} rows to {args.out}")
+
+
 def cmd_bench(args):
     del args
     import runpy
@@ -255,6 +263,14 @@ def main(argv=None):
     p_st.add_argument("--train-size", type=int, default=32)
     p_st.add_argument("--save-dir", default="result/stereo_cspn")
     p_st.set_defaults(fn=cmd_train_stereo)
+
+    p_mm = sub.add_parser("make-manifest",
+                          help="generate a datalist CSV from a directory of h5 frames")
+    p_mm.add_argument("data_dir")
+    p_mm.add_argument("out")
+    p_mm.add_argument("--pattern", default="**/*.h5")
+    p_mm.add_argument("--relative-to", default=None)
+    p_mm.set_defaults(fn=cmd_make_manifest)
 
     p_bench = sub.add_parser("bench", help="run the throughput benchmark")
     p_bench.set_defaults(fn=cmd_bench)
