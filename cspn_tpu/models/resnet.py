@@ -113,6 +113,68 @@ class Bottleneck(nn.Module):
 _BLOCKS = {"basic": BasicBlock, "bottleneck": Bottleneck}
 
 
+def _space_to_depth2(x: jnp.ndarray) -> jnp.ndarray:
+    """[N, H, W, C] -> [N, H/2, W/2, 4C], channel = (py*2+px)*C + c."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
+
+
+def _stem_s2d_weights(w: jnp.ndarray) -> jnp.ndarray:
+    """Reindex the 7x7/s2 stem kernel (HWIO) for a space-to-depth-packed
+    input: a 4x4/s1 conv over [H/2, W/2, 4*cin] with padding (2,1).
+
+    Output pixel i of the strided conv reads source rows u = 2i + a - 3,
+    a in [0,6]; in packed coordinates u = 2(i+s) + p with s in [-2,1] and
+    phase p, i.e. a = 2s + 3 + p (zero where a falls outside [0,6])."""
+    k, _, cin, cout = w.shape
+    assert k == 7
+    w4 = jnp.zeros((4, 4, 4 * cin, cout), w.dtype)
+    for si in range(4):
+        for ti in range(4):
+            s, t = si - 2, ti - 2
+            for py in range(2):
+                for px in range(2):
+                    a, b = 2 * s + 3 + py, 2 * t + 3 + px
+                    if 0 <= a < 7 and 0 <= b < 7:
+                        ch = (py * 2 + px) * cin
+                        w4 = w4.at[si, ti, ch : ch + cin, :].set(w[a, b])
+    return w4
+
+
+class _StemS2DConv(nn.Module):
+    """7x7/s2 stem conv via space-to-depth packing (see _stem_s2d_weights).
+    Parameter path/shape identical to the plain nn.Conv ('kernel',
+    (7,7,cin,features)), so state dicts are interchangeable."""
+
+    features: int
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        w = self.param(
+            "kernel",
+            nn.initializers.he_normal(),
+            (7, 7, cin, self.features),
+            jnp.float32,
+        )
+        w4 = _stem_s2d_weights(w)
+        xp = _space_to_depth2(x)
+        if self.dtype is not None:
+            xp = xp.astype(self.dtype)
+            w4 = w4.astype(self.dtype)
+        import jax
+
+        return jax.lax.conv_general_dilated(
+            xp,
+            w4,
+            window_strides=(1, 1),
+            padding=((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
 class ResNetEncoder(nn.Module):
     """Encoder trunk. Returns (bottleneck, skips dict)."""
 
@@ -122,6 +184,10 @@ class ResNetEncoder(nn.Module):
     train: bool = False
     axis_name: str | None = None
     dtype: object = None
+    # compute the 7x7/s2 stem as a 4x4/s1 conv on a space-to-depth-packed
+    # input (identical math, parameter-compatible; large-spatial conv passes
+    # are the TPU bottleneck at these shapes).  Requires even H, W.
+    stem_space_to_depth: bool = True
 
     @property
     def expansion(self) -> int:
@@ -131,16 +197,25 @@ class ResNetEncoder(nn.Module):
     def __call__(self, x):
         block_cls = _BLOCKS[self.block]
         skips: dict[str, Any] = {}
-        x = nn.Conv(
-            self.in_stem_features,
-            (7, 7),
-            strides=(2, 2),
-            padding=((3, 3), (3, 3)),
-            use_bias=False,
-            kernel_init=nn.initializers.he_normal(),
-            dtype=self.dtype,
-            name="conv1_1",
-        )(x)
+        if (
+            self.stem_space_to_depth
+            and x.shape[1] % 2 == 0
+            and x.shape[2] % 2 == 0
+        ):
+            x = _StemS2DConv(
+                self.in_stem_features, dtype=self.dtype, name="conv1_1"
+            )(x)
+        else:
+            x = nn.Conv(
+                self.in_stem_features,
+                (7, 7),
+                strides=(2, 2),
+                padding=((3, 3), (3, 3)),
+                use_bias=False,
+                kernel_init=nn.initializers.he_normal(),
+                dtype=self.dtype,
+                name="conv1_1",
+            )(x)
         skips["skip4"] = x  # pre-BN stem output (reference forward :352-353)
         x = BatchNorm(not self.train, self.axis_name, self.dtype, name="bn1")(x)
         x = nn.relu(x)
