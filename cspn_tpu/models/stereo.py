@@ -125,6 +125,11 @@ class PSMNetCSPN(nn.Module):
     cspn_steps: int = 24
     use_cspn: bool = True
     train: bool = False
+    # a jax.sharding.Mesh with 'data'/'spatial' axes: the 3D CSPN refinement
+    # runs with the cost volume's D axis sharded over 'spatial' and K-step
+    # halo exchange over ICI (parallel/halo.py, BASELINE config 5)
+    spatial_mesh: object = None
+    spatial_halo: int = 4
 
     @nn.compact
     def __call__(self, left, right):
@@ -147,7 +152,19 @@ class PSMNetCSPN(nn.Module):
                 26, (3, 3, 3), padding=((1, 1),) * 3, use_bias=False,
                 name="guidance3d_head",
             )(cost)
-            logits = cspn_nd(guide, logits, kernel_size=3, steps=self.cspn_steps)
+            if self.spatial_mesh is not None:
+                from cspn_tpu.parallel.halo import cspn_nd_spatial
+
+                logits = cspn_nd_spatial(
+                    guide,
+                    logits,
+                    mesh=self.spatial_mesh,
+                    kernel_size=3,
+                    steps=self.cspn_steps,
+                    halo=self.spatial_halo,
+                )
+            else:
+                logits = cspn_nd(guide, logits, kernel_size=3, steps=self.cspn_steps)
 
         full = resize_trilinear(logits, (self.max_disp, h, w))[..., 0]
         # softmax disparity regression over the D axis

@@ -29,7 +29,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from cspn_tpu.ops.cspn_ref import normalize_affinity_2d
-from cspn_tpu.ops.neighbors import OFFSETS_2D_REFERENCE, shift
+from cspn_tpu.ops.neighbors import OFFSETS_2D_REFERENCE, neighbor_offsets, shift
 
 
 def _exchange_halos(x: jnp.ndarray, k: int, axis_name: str) -> jnp.ndarray:
@@ -122,3 +122,88 @@ def cspn2d_spatial(
         args = (guidance, blur_depth)
 
     return shard_map(local, mesh=mesh, in_specs=in_specs, out_specs=spec_x)(*args)
+
+
+def _local_cspn_nd(
+    guide, feat, *, kernel_size: int, steps: int, halo: int, axis_name: str
+):
+    """Per-device block of the paddle-semantics nd CSPN (cspn_nd_reference).
+
+    guide [n, d_loc, *rest, C*(k^n-1)], feat [n, d_loc, *rest, C]; the first
+    spatial axis (axis 1) is the sharded one.  Normalization is per-pixel
+    (demo.py:34-36), so unlike the 2D canvas form no +1 gate halo is needed:
+    gates and features are exchanged with the same width K and each device
+    runs K steps per exchange.  `ppermute` zero-fill at the mesh ends
+    reproduces the zero contribution of out-of-volume neighbors.
+    """
+    ndim = feat.ndim - 2
+    n_gates = kernel_size**ndim - 1
+    c = feat.shape[-1]
+    offsets = neighbor_offsets(ndim, kernel_size)
+    axes = tuple(range(-ndim - 1, -1))
+    k = max(1, min(halo, feat.shape[1] - 1))
+
+    g = jnp.abs(guide)
+    # normalize per feature-channel gate group (pointwise, pre-exchange)
+    g = g.reshape(g.shape[:-1] + (c, n_gates))
+    g = g / jnp.maximum(jnp.sum(g, axis=-1, keepdims=True), 1e-12)
+    center = 1.0 - jnp.sum(g, axis=-1)  # [n, *spatial, C]
+
+    w = _exchange_halos(g, k, axis_name)  # [n, d+2k, *rest, C, n_gates]
+    center = _exchange_halos(center, k, axis_name)
+    x = _exchange_halos(feat, k, axis_name)
+
+    def step_fn(x):
+        y = center * x
+        for d, off in enumerate(offsets):
+            y = y + w[..., d] * shift(x, off, axes=axes)
+        return y
+
+    done = 0
+    while done < steps:
+        if done > 0:
+            x = _exchange_halos(x[:, k:-k], k, axis_name)
+        k_this = min(k, steps - done)
+        for _ in range(k_this):
+            x = step_fn(x)
+        done += k_this
+    return x[:, k:-k]
+
+
+def cspn_nd_spatial(
+    guide: jnp.ndarray,
+    feat: jnp.ndarray,
+    *,
+    mesh: Mesh,
+    kernel_size: int = 3,
+    steps: int = 24,
+    halo: int = 4,
+    data_axis: str = "data",
+    spatial_axis: str = "spatial",
+):
+    """Paddle-semantics nd CSPN (ops.cspn_nd) with the batch sharded over
+    `data_axis` and the first spatial axis (D for cost volumes) sharded over
+    `spatial_axis` with K-step halo exchange over ICI.
+
+    This is the multi-host path for 3D CSPN over stereo cost volumes
+    (BASELINE config 5): a [N, D, H, W, C] volume too large for one chip's
+    HBM is split along D; each of the `steps` propagation iterations needs a
+    1-voxel neighborhood, so a width-K halo amortizes one `ppermute` pair
+    per K steps.
+
+    Requires N % mesh['data'] == 0 and D % mesh['spatial'] == 0.
+    Semantics identical to ops.cspn_nd (verified in tests/test_parallel.py).
+    """
+    spec_g = P(data_axis, spatial_axis, *([None] * (guide.ndim - 2)))
+    spec_f = P(data_axis, spatial_axis, *([None] * (feat.ndim - 2)))
+
+    fn = functools.partial(
+        _local_cspn_nd,
+        kernel_size=kernel_size,
+        steps=steps,
+        halo=halo,
+        axis_name=spatial_axis,
+    )
+    return shard_map(fn, mesh=mesh, in_specs=(spec_g, spec_f), out_specs=spec_f)(
+        guide, feat
+    )

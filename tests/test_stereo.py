@@ -130,3 +130,27 @@ def test_synthetic_stereo_dataset_geometry():
     assert s["right"].shape == (20, 30, 3)
     assert s["disp"].shape == (20, 30)
     assert (s["disp"] >= 1.0).all() and (s["disp"] <= 7.0).all()
+
+
+def test_stereo_spatial_mesh_matches_unsharded():
+    """PSMNetCSPN with the cost volume's D axis sharded over 'spatial'
+    (halo-exchange 3D CSPN) produces the same disparity as unsharded."""
+    import jax
+    import jax.numpy as jnp
+
+    from cspn_tpu.models.stereo import PSMNetCSPN
+    from cspn_tpu.parallel import make_mesh
+
+    mesh = make_mesh(data=2, spatial=4)
+    kw = dict(max_disp=32, features=4, cspn_steps=3)
+    plain = PSMNetCSPN(**kw)
+    sharded = PSMNetCSPN(**kw, spatial_mesh=mesh, spatial_halo=2)
+
+    rng = np.random.default_rng(5)
+    left = jnp.asarray(rng.standard_normal((2, 32, 48, 3)), jnp.float32)
+    right = jnp.asarray(rng.standard_normal((2, 32, 48, 3)), jnp.float32)
+    variables = jax.jit(plain.init)(jax.random.PRNGKey(0), left, right)
+
+    want = jax.jit(plain.apply)(variables, left, right)
+    got = jax.jit(sharded.apply)(variables, left, right)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
