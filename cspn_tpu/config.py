@@ -37,6 +37,11 @@ class DataConfig:
     batch_size_eval: int = 1
     num_workers: int = 4
     seed: Optional[int] = None
+    # geometry overrides (None = dataset default).  crop_hw: output (H, W);
+    # box_crop: pre-crop box (left, right, upper, lower) or () to disable
+    # the dataset's default box crop (KITTI benchmark full frames).
+    crop_hw: Optional[tuple] = None
+    box_crop: Optional[tuple] = None
 
 
 @dataclasses.dataclass
@@ -124,6 +129,28 @@ _register(
         optim=OptimConfig(num_epochs=40),
         save_dir="result/kitti_cspn_resnet18",
         best_model_dir="result/kitti_cspn_resnet18",
+    ),
+)
+
+# KITTI depth-completion benchmark geometry (BASELINE config 3): full
+# 352x1216 frames (the benchmark server's padded size), no box pre-crop.
+# The fused CSPN forward covers this size; the backward remats through XLA.
+_register(
+    "kitti_benchmark",
+    RunConfig(
+        model=ModelConfig(arch="resnet18"),
+        data=DataConfig(
+            dataset="kitti",
+            train_list="data/kitti_hdf5/kitti_hdf5_train.csv",
+            eval_list="data/kitti_hdf5/kitti_hdf5_val.csv",
+            n_sample=500,
+            batch_size_train=4,
+            crop_hw=(352, 1216),
+            box_crop=(),
+        ),
+        optim=OptimConfig(num_epochs=40),
+        save_dir="result/kitti_benchmark_cspn",
+        best_model_dir="result/kitti_benchmark_cspn",
     ),
 )
 

@@ -88,6 +88,8 @@ class _DepthCompletionDataset:
         seed: int | None = None,
         return_raw_rgb: bool = False,
         use_native: bool = True,
+        crop_hw: tuple[int, int] | None = None,
+        box_crop: tuple[int, int, int, int] | None | str = "default",
     ):
         self.paths = read_manifest(csv_file)
         self.root_dir = root_dir
@@ -96,6 +98,13 @@ class _DepthCompletionDataset:
         self.return_raw_rgb = return_raw_rgb
         self._seed = seed
         self.use_native = use_native
+        # geometry overrides (e.g. KITTI depth-completion benchmark frames,
+        # 352x1216 with no box pre-crop, vs the reference's 228x912 training
+        # crop); defaults come from the subclass attributes
+        if crop_hw is not None:
+            self.crop_hw = tuple(crop_hw)
+        if box_crop != "default":
+            self.box_crop = box_crop
 
     def __len__(self) -> int:
         return len(self.paths)

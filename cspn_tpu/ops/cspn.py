@@ -29,6 +29,8 @@ def _resolve(backend: str) -> str:
     return _default_backend() if backend == "auto" else backend
 
 
+
+
 def cspn2d(
     guidance: jnp.ndarray,
     blur_depth: jnp.ndarray,
@@ -43,9 +45,14 @@ def cspn2d(
     if backend == "pallas":
         from cspn_tpu.ops import cspn_pallas
 
-        return cspn_pallas.cspn2d_pallas(
-            guidance, blur_depth, sparse_depth, steps=steps, norm_type=norm_type
-        )
+        if not cspn_pallas.fwd_fits_vmem(guidance.shape[-3], guidance.shape[-2]):
+            # image too large for the single-invocation kernel's VMEM budget:
+            # XLA-composed fallback (a future row-tiled kernel can lift this)
+            backend = "reference"
+        else:
+            return cspn_pallas.cspn2d_pallas(
+                guidance, blur_depth, sparse_depth, steps=steps, norm_type=norm_type
+            )
     if backend == "reference":
         return cspn_ref.cspn2d_reference(
             guidance, blur_depth, sparse_depth, steps=steps, norm_type=norm_type

@@ -60,6 +60,30 @@ _BY_DX = {
 }
 
 
+# The Mosaic compiler's default scoped-VMEM limit is 16 MB, far below the
+# v5e's 128 MB physical VMEM; the kernels request a higher limit explicitly
+# (empirically validated: 64-100 MB compiles and runs on v5e).  The guard
+# below still routes truly oversized images to the XLA fallbacks: forward ->
+# composed reference (cspn.py dispatch), backward -> rematerialized autodiff
+# of the reference (below) while keeping the fused forward.
+_VMEM_LIMIT_BYTES = 100 * 1024 * 1024
+_VMEM_BUDGET_BYTES = 96 * 1024 * 1024
+# The backward kernel's unrolled replay makes Mosaic compile time blow up
+# past ~NYU-scale images (228x912 took >10 min); cap it by VMEM-at-16MB
+# equivalence (~150k px) and remat through XLA above that.
+_BWD_AREA_LIMIT = 150_000
+
+
+def fwd_fits_vmem(h: int, w: int) -> bool:
+    # inputs (8+1+1) + output, x2 for grid double-buffering, + 9 scratch
+    return 31 * h * w * 4 <= _VMEM_BUDGET_BYTES
+
+
+def bwd_fits_vmem(h: int, w: int, steps: int) -> bool:
+    planes = 32 + max(0, -(-steps // _CKPT) - 1 - 5)
+    return h * w <= _BWD_AREA_LIMIT and planes * h * w * 4 <= _VMEM_BUDGET_BYTES
+
+
 def _interpret_default() -> bool:
     try:
         return jax.devices()[0].platform != "tpu"
@@ -195,6 +219,7 @@ def _cspn2d_pallas_impl(
             bytes_accessed=n * (8 + 1 + 1 + 1) * h * w * 4,
             transcendentals=0,
         ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES),
         interpret=interpret,
     )(*args)
 
@@ -402,6 +427,7 @@ def _cspn2d_bwd_pallas(guidance_cf, blur_depth, sparse_depth, ct, steps,
                 pltpu.VMEM((h + 2, w), jnp.float32),  # xpad
             ],
             input_output_aliases={0: 0},  # guidance buffer -> gate grads
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES),
             interpret=interpret,
         )(*ins)
 
@@ -435,6 +461,21 @@ def _cspn2d_fwd(guidance_cf, blur_depth, sparse_depth, steps, norm_type, interpr
 
 def _cspn2d_bwd(steps, norm_type, interpret, residuals, ct):
     guidance_cf, blur_depth, sparse_depth = residuals
+    n, _, h, w = guidance_cf.shape
+    if not bwd_fits_vmem(h, w, steps):
+        # fused backward kernel would overflow VMEM at this image size:
+        # rematerialize through the XLA reference instead (keeps the fused
+        # forward; ~7x slower backward but correct at any shape)
+        def ref_fwd(g_cf, blur):
+            return cspn_ref.cspn2d_reference(
+                jnp.moveaxis(g_cf, 1, -1), blur, sparse_depth,
+                steps=steps, norm_type=norm_type,
+            )
+
+        _, vjp = jax.vjp(ref_fwd, guidance_cf, blur_depth)
+        dg, db = vjp(ct)
+        ds = jnp.zeros_like(sparse_depth) if sparse_depth is not None else None
+        return dg, db, ds
     dg, db = _cspn2d_bwd_pallas(
         guidance_cf, blur_depth, sparse_depth, ct, steps, norm_type, interpret
     )

@@ -15,6 +15,10 @@ _SYNTH_HW = (64, 96)
 
 def build_dataset(cfg: RunConfig, split: str, seed=None, return_raw_rgb=False):
     d = cfg.data
+    # geometry overrides: box_crop None = dataset default, () = disabled
+    geom = dict(crop_hw=d.crop_hw)
+    if d.box_crop is not None:
+        geom["box_crop"] = tuple(d.box_crop) if len(d.box_crop) else None
     if d.dataset == "nyudepth":
         return NyuDepthDataset(
             d.train_list if split == "train" else d.eval_list,
@@ -23,6 +27,7 @@ def build_dataset(cfg: RunConfig, split: str, seed=None, return_raw_rgb=False):
             n_sample=d.n_sample,
             seed=seed if seed is not None else d.seed,
             return_raw_rgb=return_raw_rgb,
+            **geom,
         )
     if d.dataset == "kitti":
         return KittiDataset(
@@ -32,6 +37,7 @@ def build_dataset(cfg: RunConfig, split: str, seed=None, return_raw_rgb=False):
             n_sample=d.n_sample,
             seed=seed if seed is not None else d.seed,
             return_raw_rgb=return_raw_rgb,
+            **geom,
         )
     if d.dataset == "synthetic":
         return SyntheticDepthDataset(

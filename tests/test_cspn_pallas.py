@@ -78,3 +78,37 @@ def test_pallas_under_jit_and_vmap_shapes(rng):
     out = f(g, b, s)
     assert out.shape == (3, 12, 16)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_vmem_guard_backward_fallback(rng, monkeypatch):
+    """Images whose fused backward would overflow VMEM keep the fused
+    forward but take the XLA-remat backward -- grads must still match."""
+    from cspn_tpu.ops import cspn_pallas
+
+    g, b, s = _inputs(rng, n=1, h=10, w=12)
+    monkeypatch.setattr(cspn_pallas, "_VMEM_BUDGET_BYTES", 1)  # force fallback
+    assert not cspn_pallas.bwd_fits_vmem(10, 12, 5)
+
+    def loss_pallas(g, b):
+        return jnp.sum(cspn2d_pallas(g, b, s, steps=5, interpret=True) ** 2)
+
+    def loss_ref(g, b):
+        return jnp.sum(cspn_ref.cspn2d_reference(g, b, s, steps=5) ** 2)
+
+    dg_p, db_p = jax.grad(loss_pallas, argnums=(0, 1))(g, b)
+    dg_r, db_r = jax.grad(loss_ref, argnums=(0, 1))(g, b)
+    np.testing.assert_allclose(np.asarray(dg_p), np.asarray(dg_r), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(db_p), np.asarray(db_r), rtol=1e-4, atol=1e-5)
+
+
+def test_vmem_guard_dispatch_fallback(rng, monkeypatch):
+    """Oversized forward under 'auto'/'pallas' dispatch routes to the
+    reference implementation instead of the kernel."""
+    from cspn_tpu.ops import cspn, cspn_pallas
+
+    g, b, s = _inputs(rng, n=1, h=10, w=12)
+    monkeypatch.setattr(cspn_pallas, "_VMEM_BUDGET_BYTES", 1)
+    monkeypatch.setattr(cspn, "_default_backend", lambda: "pallas")
+    out = cspn.cspn2d(g, b, s, steps=4, backend="auto")
+    want = cspn_ref.cspn2d_reference(g, b, s, steps=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-5, atol=1e-6)

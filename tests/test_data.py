@@ -83,6 +83,41 @@ def test_kitti_geometry(h5_fixture):
         assert s["rgbd"].shape == (228, 912, 4)
         assert s["depth"].shape == (228, 912)
 
+        # benchmark geometry override: full 352x1216 frames, no box pre-crop
+        s = KittiDataset(
+            csv_p, split="val", n_sample=500, seed=0,
+            crop_hw=(352, 1216), box_crop=None,
+        )[0]
+        assert s["rgbd"].shape == (352, 1216, 4)
+        assert s["depth"].shape == (352, 1216)
+
+
+def test_kitti_benchmark_preset_dataset_geometry(tmp_path):
+    """The kitti_benchmark preset builds a dataset with 352x1216 output and
+    the default box pre-crop disabled (factory maps box_crop=() to None)."""
+    import copy
+    import h5py
+
+    from cspn_tpu.config import PRESETS
+    from cspn_tpu.train.factory import build_dataset
+
+    p = str(tmp_path / "k.h5")
+    rng = np.random.default_rng(0)
+    with h5py.File(p, "w") as f:
+        f["rgb"] = rng.integers(0, 255, (3, 375, 1242), dtype=np.uint8)
+        f["depth"] = rng.uniform(1, 80, (375, 1242)).astype(np.float32)
+    csv_p = str(tmp_path / "m.csv")
+    with open(csv_p, "w") as f:
+        f.write("Name\n" + p + "\n")
+
+    cfg = copy.deepcopy(PRESETS["kitti_benchmark"])
+    cfg.data.eval_list = csv_p
+    ds = build_dataset(cfg, "val", seed=0)
+    assert ds.box_crop is None
+    s = ds[0]
+    assert s["rgbd"].shape == (352, 1216, 4)
+    assert s["depth"].shape == (352, 1216)
+
 
 def test_sparse_sampler_denominators(rng):
     depth = np.zeros((100, 100), np.float32)
