@@ -182,9 +182,10 @@ def _demo_step(params, opt_state, loss_fn, opt):
 
 
 def cmd_train_stereo(args):
-    """Train the PSMNet+3D-CSPN stereo model (synthetic data unless a
-    Scene-Flow-style loader is pointed at real files)."""
-    from cspn_tpu.data import DataLoader
+    """Train the PSMNet+3D-CSPN stereo model on Scene Flow manifests
+    (--train-list/--eval-list CSVs with left,right,disp columns; disparity
+    as PFM, cspn_paddle/README.md:93) or the synthetic fixture."""
+    from cspn_tpu.data import DataLoader, SceneFlowStereoDataset
     from cspn_tpu.data.datasets import SyntheticStereoDataset
     from cspn_tpu.train.stereo_loop import StereoConfig, StereoTrainer
 
@@ -198,11 +199,22 @@ def cmd_train_stereo(args):
         batch_size=args.batch_size,
         save_dir=args.save_dir,
     )
-    train_ds = SyntheticStereoDataset(length=args.train_size, hw=(args.height, args.width),
-                                      max_disp=cfg.max_disp, seed=0)
-    val_ds = SyntheticStereoDataset(length=max(args.train_size // 4, 2),
-                                    hw=(args.height, args.width),
-                                    max_disp=cfg.max_disp, seed=1)
+    if args.train_list:
+        crop = (args.height, args.width)
+        train_ds = SceneFlowStereoDataset(
+            args.train_list, root_dir=args.root_dir, split="train", crop_hw=crop
+        )
+        val_ds = SceneFlowStereoDataset(
+            args.eval_list or args.train_list, root_dir=args.root_dir,
+            split="val", crop_hw=crop, seed=0,
+        )
+    else:
+        train_ds = SyntheticStereoDataset(length=args.train_size,
+                                          hw=(args.height, args.width),
+                                          max_disp=cfg.max_disp, seed=0)
+        val_ds = SyntheticStereoDataset(length=max(args.train_size // 4, 2),
+                                        hw=(args.height, args.width),
+                                        max_disp=cfg.max_disp, seed=1)
     train_loader = DataLoader(train_ds, cfg.batch_size, shuffle=True, drop_last=True)
     val_loader = DataLoader(val_ds, cfg.batch_size)
     StereoTrainer(cfg, train_loader, val_loader).fit()
@@ -214,6 +226,37 @@ def cmd_make_manifest(args):
     n = make_manifest(args.data_dir, args.out, pattern=args.pattern,
                       relative_to=args.relative_to)
     print(f"wrote {n} rows to {args.out}")
+
+
+def cmd_bench_scaling(args):
+    import json
+    import os
+
+    if args.force_cpu_devices:
+        # must run before any jax computation: flip the (lazily initialized)
+        # backend to a virtual CPU mesh (see tests/conftest.py)
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags
+                + f" --xla_force_host_platform_device_count={args.force_cpu_devices}"
+            ).strip()
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from cspn_tpu.utils.scaling import run_scaling_bench
+
+    records = run_scaling_bench(
+        arch=args.model or "resnet18",
+        hw=(args.height, args.width),
+        batch_per_device=args.batch_per_device,
+        cspn_steps=args.cspn_step or 24,
+        mode=args.mode,
+        spatial=args.mesh_spatial_bench,
+    )
+    for r in records:
+        print(json.dumps(r), flush=True)
 
 
 def cmd_bench(args):
@@ -261,6 +304,10 @@ def main(argv=None):
     p_st.add_argument("--height", type=int, default=64)
     p_st.add_argument("--width", type=int, default=96)
     p_st.add_argument("--train-size", type=int, default=32)
+    p_st.add_argument("--train-list", default=None,
+                      help="Scene Flow CSV manifest (left,right,disp columns)")
+    p_st.add_argument("--eval-list", default=None)
+    p_st.add_argument("--root-dir", default=".")
     p_st.add_argument("--save-dir", default="result/stereo_cspn")
     p_st.set_defaults(fn=cmd_train_stereo)
 
@@ -274,6 +321,22 @@ def main(argv=None):
 
     p_bench = sub.add_parser("bench", help="run the throughput benchmark")
     p_bench.set_defaults(fn=cmd_bench)
+
+    p_sc = sub.add_parser(
+        "bench-scaling",
+        help="throughput vs mesh size (DP weak scaling; one JSON line per size)",
+    )
+    p_sc.add_argument("--model", default="resnet18")
+    p_sc.add_argument("--height", type=int, default=228)
+    p_sc.add_argument("--width", type=int, default=304)
+    p_sc.add_argument("--batch-per-device", type=int, default=4)
+    p_sc.add_argument("--cspn-step", type=int, default=24)
+    p_sc.add_argument("--mode", default="train", choices=["train", "eval"])
+    p_sc.add_argument("--mesh-spatial-bench", type=int, default=1,
+                      help="spatial axis size (halo-exchange CSPN) per mesh")
+    p_sc.add_argument("--force-cpu-devices", type=int, default=0,
+                      help="N>0: run on an N-device virtual CPU mesh")
+    p_sc.set_defaults(fn=cmd_bench_scaling)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -20,6 +20,7 @@ from cspn_tpu.data.datasets import (
     create_sparse_depth,
 )
 from cspn_tpu.data.loader import DataLoader
+from cspn_tpu.data.stereo import SceneFlowStereoDataset, read_pfm, write_pfm
 
 __all__ = [
     "CenterCrop",
@@ -34,4 +35,7 @@ __all__ = [
     "SyntheticDepthDataset",
     "create_sparse_depth",
     "DataLoader",
+    "SceneFlowStereoDataset",
+    "read_pfm",
+    "write_pfm",
 ]

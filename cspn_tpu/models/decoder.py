@@ -208,6 +208,33 @@ class GudiUpProjCat(nn.Module):
         return nn.relu(out + sc)
 
 
+class GudiUpConv(nn.Module):
+    """Simple up-conv block: unpool + 5x5 conv + BN + ReLU (reference
+    Simple_Gudi_UpConv_Block, torch_resnet_cspn_nyu.py:162-185; constructed
+    by the reference's no-skip decoder path).  Subpixel form is the fused
+    equivalent."""
+
+    features: int
+    oheight: int
+    owidth: int
+    train: bool = False
+    axis_name: str | None = None
+    dtype: object = None
+    subpixel: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        if self.subpixel:
+            out = SubpixelUnpoolConv(self.features, 5, self.oheight, self.owidth,
+                                     dtype=self.dtype, name="conv1")(x)
+        else:
+            out = conv(self.features, 5, dtype=self.dtype, name="conv1")(
+                unpool2x(x, self.oheight, self.owidth)
+            )
+        out = BatchNorm(not self.train, self.axis_name, self.dtype, name="bn1")(out)
+        return nn.relu(out)
+
+
 class GudiUpConvLast(nn.Module):
     """Head block: unpool + 3x3 conv, raw output (no BN/ReLU)."""
 

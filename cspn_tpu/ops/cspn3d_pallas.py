@@ -186,6 +186,27 @@ def affinity_propagate3d_fused(
             interpret = jax.devices()[0].platform != "tpu"
         except RuntimeError:
             interpret = True
+
+    # Mosaic tiling wants H (sublanes) % 8 == 0 and W (lanes) % 128 == 0 for
+    # the DMA'd VMEM slices.  Zero-pad up and crop after: padded gates are
+    # zero, so padded voxels stay zero and real voxels reading them get the
+    # exact out-of-volume zero contribution (per-pixel normalization makes
+    # gates independent of neighbors).
+    n, d_sz, h0, w0 = feat.shape
+    pad_h8 = (-h0) % 8
+    pad_w128 = (-w0) % 128
+    if pad_h8 or pad_w128:
+        # feat [N, D, H, W]; gate_weight [N, 26, D, H, W]
+        feat = jnp.pad(feat, ((0, 0), (0, 0), (0, pad_h8), (0, pad_w128)))
+        gate_weight = jnp.pad(
+            gate_weight, ((0, 0), (0, 0), (0, 0), (0, pad_h8), (0, pad_w128))
+        )
+        out = affinity_propagate3d_fused(
+            feat, gate_weight, steps=steps, k_per_segment=k_per_segment,
+            h_tile=h_tile, interpret=interpret,
+        )
+        return out[:, :, :h0, :w0]
+
     n, d_sz, h, w = feat.shape
 
     # whole-volume mode: with the raised Mosaic VMEM limit (the v5e has

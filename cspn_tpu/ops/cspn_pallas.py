@@ -524,7 +524,9 @@ def cspn_nd_pallas(guide, feat, *, kernel_size: int = 3, steps: int = 24):
     ndim = feat.ndim - 2
     if ndim == 3 and kernel_size == 3:
         n, d_sz, h, w, c = feat.shape
-        bf16_need = 26 * d_sz * h * w * 2 + 8 * (d_sz + 2) * (h + 2) * w * 4
+        # kernel pads H to sublane (8) and W to lane (128) multiples
+        hp, wp = h + (-h) % 8, w + (-w) % 128
+        bf16_need = 26 * d_sz * hp * wp * 2 + 8 * (d_sz + 2) * (hp + 2) * wp * 4
         if bf16_need <= 80 * 1024 * 1024:
             return _cspn3d_fused_vjp(guide, feat, steps)
     return cspn_ref.cspn_nd_reference(guide, feat, kernel_size=kernel_size, steps=steps)

@@ -118,6 +118,31 @@ def cspn2d_reference(
     return propagate_2d(gates, center, blur_depth, mask, steps)
 
 
+# --- parity helpers (reference cspn.py:175-194; unused by the reference's
+# forward path but part of its public class surface) -----------------------
+
+
+def normalize_gate(guidance: jnp.ndarray):
+    """Two-gate abs-sum normalization (cspn.py:175-183): guidance [..., 2]
+    split into two maps, each divided by |g1|+|g2|.  NB: like the reference,
+    0/0 yields NaN here -- this helper reproduces its exact semantics."""
+    g1, g2 = guidance[..., 0], guidance[..., 1]
+    s = jnp.abs(g1) + jnp.abs(g2)
+    return g1 / s, g2 / s
+
+
+def max_of_4_tensor(e1, e2, e3, e4):
+    """Elementwise max of four maps (cspn.py:186-189)."""
+    return jnp.maximum(jnp.maximum(e1, e2), jnp.maximum(e3, e4))
+
+
+def max_of_8_tensor(e1, e2, e3, e4, e5, e6, e7, e8):
+    """Elementwise max of eight maps (cspn.py:191-194)."""
+    return jnp.maximum(
+        max_of_4_tensor(e1, e2, e3, e4), max_of_4_tensor(e5, e6, e7, e8)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Paddle-semantics native op (2D/3D), per-pixel normalized gates.
 # ---------------------------------------------------------------------------

@@ -181,3 +181,24 @@ def test_cspn_nd_channel_slicing_matches_independent_runs(rng):
         np.testing.assert_allclose(
             np.asarray(full[..., ch : ch + 1]), np.asarray(single), rtol=1e-6
         )
+
+
+def test_parity_helpers():
+    """normalize_gate / max_of_{4,8}_tensor (reference cspn.py:175-194)."""
+    from cspn_tpu.ops.cspn_ref import max_of_4_tensor, max_of_8_tensor, normalize_gate
+
+    rng = np.random.default_rng(0)
+    g = jnp.asarray(rng.standard_normal((3, 4, 5, 2)), jnp.float32)
+    g1, g2 = normalize_gate(g)
+    np.testing.assert_allclose(
+        np.abs(np.asarray(g1)) + np.abs(np.asarray(g2)), 1.0, rtol=1e-5
+    )
+    maps = [jnp.asarray(rng.standard_normal((4, 5)), jnp.float32) for _ in range(8)]
+    np.testing.assert_array_equal(
+        np.asarray(max_of_4_tensor(*maps[:4])),
+        np.max(np.stack([np.asarray(m) for m in maps[:4]]), axis=0),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(max_of_8_tensor(*maps)),
+        np.max(np.stack([np.asarray(m) for m in maps]), axis=0),
+    )

@@ -174,3 +174,57 @@ def test_synthetic_dataset_deterministic():
     a = SyntheticDepthDataset(length=2, hw=(16, 16), seed=3)[0]
     b = SyntheticDepthDataset(length=2, hw=(16, 16), seed=3)[0]
     np.testing.assert_array_equal(a["rgbd"], b["rgbd"])
+
+
+def test_pfm_roundtrip(tmp_path):
+    from cspn_tpu.data.stereo import read_pfm, write_pfm
+
+    rng = np.random.default_rng(0)
+    for shape in ((7, 9), (6, 8, 3)):
+        a = rng.standard_normal(shape).astype(np.float32)
+        p = str(tmp_path / f"x{len(shape)}.pfm")
+        write_pfm(p, a)
+        np.testing.assert_array_equal(read_pfm(p), a)
+
+
+def test_sceneflow_dataset(tmp_path):
+    from PIL import Image
+
+    from cspn_tpu.data.stereo import SceneFlowStereoDataset, write_pfm
+
+    rng = np.random.default_rng(0)
+    h, w = 40, 60
+    rows = ["left,right,disp"]
+    for i in range(2):
+        lp, rp, dp = (tmp_path / f"{n}{i}.{e}" for n, e in
+                      (("l", "png"), ("r", "png"), ("d", "pfm")))
+        Image.fromarray(rng.integers(0, 255, (h, w, 3), dtype=np.uint8)).save(lp)
+        Image.fromarray(rng.integers(0, 255, (h, w, 3), dtype=np.uint8)).save(rp)
+        disp = rng.uniform(1, 30, (h, w)).astype(np.float32)
+        disp[0, 0] = np.inf  # non-finite -> cleaned to 0 (invalid)
+        write_pfm(str(dp), disp)
+        rows.append(f"{lp.name},{rp.name},{dp.name}")
+    csv_p = tmp_path / "m.csv"
+    csv_p.write_text("\n".join(rows) + "\n")
+
+    ds = SceneFlowStereoDataset(str(csv_p), root_dir=str(tmp_path),
+                                split="val", crop_hw=(32, 48), seed=0)
+    assert len(ds) == 2
+    s = ds[0]
+    assert s["left"].shape == (32, 48, 3) and s["right"].shape == (32, 48, 3)
+    assert s["disp"].shape == (32, 48)
+    assert np.isfinite(s["disp"]).all() and (s["disp"] >= 0).all()
+
+    # train split: random crop is deterministic under a seed
+    tr = SceneFlowStereoDataset(str(csv_p), root_dir=str(tmp_path),
+                                split="train", crop_hw=(32, 48), seed=7)
+    np.testing.assert_array_equal(tr[0]["disp"], tr[0]["disp"])
+
+    # manifest with missing columns is rejected with a clear error
+    bad = tmp_path / "bad.csv"
+    bad.write_text("left,right\nx.png,y.png\n")
+    try:
+        SceneFlowStereoDataset(str(bad), root_dir=str(tmp_path))
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "disp" in str(e)

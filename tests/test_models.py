@@ -108,3 +108,22 @@ def test_step_timer_and_profiling_utils():
     assert len(t.times) == 3
     assert np.isfinite(t.frames_per_s)
     assert "steps=3" in t.summary()
+
+
+def test_gudi_up_conv_block_subpixel_equivalence():
+    """GudiUpConv (Simple_Gudi_UpConv_Block parity): fused subpixel form
+    matches the plain unpool-then-conv composition with shared params."""
+    import jax
+    import jax.numpy as jnp
+
+    from cspn_tpu.models.decoder import GudiUpConv
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 8, 10, 6)), jnp.float32)
+    plain = GudiUpConv(12, 15, 19, subpixel=False)
+    fused = GudiUpConv(12, 15, 19, subpixel=True)
+    v = plain.init(jax.random.PRNGKey(0), x)
+    a = plain.apply(v, x)
+    b = fused.apply(v, x)
+    assert a.shape == (2, 15, 19, 12)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
