@@ -259,6 +259,272 @@ def affinity_propagate3d_fused(
     return jax.lax.map(one, (feat.astype(jnp.float32), gate_weight))
 
 
+# --- fused whole-volume backward --------------------------------------------
+#
+# Reverse-mode through the fixed-gate linear recurrence
+#     x_{t+1}[p] = c[p] x_t[p] + sum_d w_d[p] x_t[p + off_d],   c = 1 - sum_d w_d
+# (paddle affinity_propagate semantics, no anchoring).  Adjoint:
+#     v_t[q]   = c[q] v_{t+1}[q] + sum_d (w_d v_{t+1})[q - off_d]
+#     wbar_d  += v_{t+1}[p] x_t[p + off_d] - cbar,  cbar = sum_t v_{t+1} x_t
+#     x0bar    = v_0
+# Same VMEM-residency strategy as the forward: bf16 gates stay resident for
+# the whole sweep; per-step forward states are rebuilt from f32 checkpoints
+# every `ckpt_every` steps.  Gate grads accumulate in f32 in the output
+# buffer, stored lane-UNSHIFTED like the gates (one W shift per direction in
+# the epilogue instead of two per step).  Gates arrive pre-unshifted from XLA
+# (gbuf[d][.., j] = w_d[.., j - dx_d]) so no second in-kernel gate copy is
+# needed -- the bf16 gate input and the f32 grad output are the two big
+# buffers and together they bound the fused-backward shape budget.
+
+
+def _bwd3_kernel(
+    g_ref,  # (26, D, H, W) bf16 VMEM, lane-unshifted normalized gates
+    x_ref,  # (D, H, W) f32: x0
+    ct_ref,  # (D, H, W) f32: output cotangent
+    csum_ref,  # (D, H, W) f32: center weight c = 1 - sum_d w_d (XLA-side --
+    #            the unshifted gate layout drops w_d's border column for
+    #            dx != 0, so c cannot be reconstructed in-kernel at borders)
+    wbar_ref,  # (26, D, H, W) f32 out: d/d(normalized gates), true coords
+    x0bar_ref,  # (D, H, W) f32 out
+    xpad_ref,  # (D+2, H+2, W) f32 scratch: padded replay state
+    vpad_ref,  # (D+2, H+2, W) f32 scratch: padded adjoint state
+    cbar_ref,  # (D, H, W) f32 scratch
+    ckpt_ref,  # (n_seg, D, H, W) f32 scratch: segment-start states
+    seg_ref,  # (ckpt_every, D+2, H+2, W) f32 scratch: one segment's states
+    *,
+    steps: int,
+    ckpt_every: int,
+):
+    d_sz, h, w = x_ref.shape
+    n_seg = steps // ckpt_every
+
+    def interior(ref):
+        return ref[1 : d_sz + 1, 1 : h + 1, :]
+
+    def set_interior(ref, val):
+        ref[1 : d_sz + 1, 1 : h + 1, :] = val
+
+    def fwd_step(xp_ref):
+        acc = {dx: jnp.zeros((d_sz, h, w), jnp.float32) for dx in (-1, 0, 1)}
+        for d, (dz, dy, dx) in enumerate(_OFFS3):
+            nb = xp_ref[1 + dz : 1 + dz + d_sz, 1 + dy : 1 + dy + h, :]
+            acc[dx] = acc[dx] + g_ref[d].astype(jnp.float32) * nb
+        return (
+            csum_ref[...] * interior(xp_ref)
+            + acc[0]
+            + _shift_w(acc[1], 1)
+            + _shift_w(acc[-1], -1)
+        )
+
+    # ---- forward pass storing segment-start checkpoints ----
+    xpad_ref[...] = jnp.zeros_like(xpad_ref)
+    set_interior(xpad_ref, x_ref[...])
+    ckpt_ref[0] = x_ref[...]
+
+    def seg_fwd(s, carry):
+        def stepk(_, c2):
+            set_interior(xpad_ref, fwd_step(xpad_ref))
+            return c2
+
+        jax.lax.fori_loop(0, ckpt_every, stepk, 0, unroll=False)
+        ckpt_ref[s + 1] = interior(xpad_ref)
+        return carry
+
+    jax.lax.fori_loop(0, n_seg - 1, seg_fwd, 0, unroll=False)
+
+    # ---- reverse sweep ----
+    for d in range(26):
+        wbar_ref[d] = jnp.zeros((d_sz, h, w), jnp.float32)
+    cbar_ref[...] = jnp.zeros((d_sz, h, w), jnp.float32)
+    vpad_ref[...] = jnp.zeros_like(vpad_ref)
+    set_interior(vpad_ref, ct_ref[...])
+
+    by_dzdy = {}
+    for d, (dz, dy, dx) in enumerate(_OFFS3):
+        by_dzdy.setdefault((dz, dy), []).append((d, dx))
+
+    def seg_bwd(i, carry):
+        s = n_seg - 1 - i
+        # rebuild this segment's step inputs x_{t0} .. x_{t0+ckpt_every-1}
+        xpad_ref[...] = jnp.zeros_like(xpad_ref)
+        set_interior(xpad_ref, ckpt_ref[s])
+
+        def rek(k, c2):
+            seg_ref[k] = xpad_ref[...]
+
+            @pl.when(k + 1 < ckpt_every)
+            def _():
+                set_interior(xpad_ref, fwd_step(xpad_ref))
+
+            return c2
+
+        jax.lax.fori_loop(0, ckpt_every, rek, 0, unroll=False)
+
+        def rev(k2, c2):
+            k = ckpt_every - 1 - k2
+            v = interior(vpad_ref)
+            cbar_ref[...] = cbar_ref[...] + v * seg_ref[
+                k, 1 : d_sz + 1, 1 : h + 1, :
+            ]
+            ubar = {0: v, 1: _shift_w(v, -1), -1: _shift_w(v, 1)}
+            # gate grads in unshifted layout:
+            #   wbar_u[d][q] += v[q - (0,0,dx)] * x_t[q + (dz,dy,0)]
+            for d, (dz, dy, dx) in enumerate(_OFFS3):
+                wbar_ref[d] = wbar_ref[d] + ubar[dx] * seg_ref[
+                    k, 1 + dz : 1 + dz + d_sz, 1 + dy : 1 + dy + h, :
+                ]
+            # adjoint stencil: v_t[q] = c[q] v[q] + sum_d (w_d v)[q - off_d]
+            vpad_ref[...] = jnp.zeros_like(vpad_ref)
+            for (dz, dy), ds in by_dzdy.items():
+                contrib = sum(
+                    g_ref[d].astype(jnp.float32) * ubar[dx] for d, dx in ds
+                )
+                if (dz, dy) == (0, 0):
+                    contrib = contrib + csum_ref[...] * v
+                vpad_ref[1 + dz : 1 + dz + d_sz, 1 + dy : 1 + dy + h, :] = (
+                    vpad_ref[1 + dz : 1 + dz + d_sz, 1 + dy : 1 + dy + h, :]
+                    + contrib
+                )
+            return c2
+
+        jax.lax.fori_loop(0, ckpt_every, rev, 0, unroll=False)
+        return carry
+
+    jax.lax.fori_loop(0, n_seg, seg_bwd, 0, unroll=False)
+
+    # ---- epilogue: shift gate grads to true coords, fold the center grad ----
+    for d, (dz, dy, dx) in enumerate(_OFFS3):
+        wbar_ref[d] = _shift_w(wbar_ref[d], dx) - cbar_ref[...]
+    x0bar_ref[...] = interior(vpad_ref)
+
+
+def _pick_ckpt_every(steps: int) -> int:
+    for c in (4, 3, 2):
+        if steps % c == 0:
+            return min(c, steps)
+    return 1
+
+
+def bwd3_fits_vmem(d_sz: int, h: int, w: int, steps: int) -> bool:
+    """Whole-volume fused-backward VMEM budget (post lane/sublane padding)."""
+    hp, wp = h + (-h) % 8, w + (-w) % 128
+    ck = _pick_ckpt_every(steps)
+    n_seg = steps // ck
+    plane = d_sz * hp * wp * 4
+    pad_plane = (d_sz + 2) * (hp + 8) * wp * 4
+    need = (
+        26 * d_sz * hp * wp * 2  # gate input (bf16)
+        + 26 * plane  # wbar output (f32)
+        + 3 * plane  # x, ct, x0bar
+        + 2 * pad_plane  # xpad, vpad
+        + 2 * plane  # csum, cbar
+        + n_seg * plane  # checkpoints
+        + ck * pad_plane  # segment replay buffer
+        + 4 * plane  # vector temps (v, ubar, contrib)
+    )
+    return need <= 96 * 1024 * 1024
+
+
+def affinity_propagate3d_fused_bwd(
+    feat: jnp.ndarray,
+    gates: jnp.ndarray,
+    ct: jnp.ndarray,
+    *,
+    steps: int = 24,
+    interpret: bool | None = None,
+):
+    """Fused VJP of `steps` whole-volume propagation iterations.
+
+    feat/ct: [N, D, H, W] f32;  gates: [N, 26, D, H, W] normalized (same
+    contract as affinity_propagate3d_fused).  Returns (wbar, x0bar) =
+    cotangents w.r.t. (gates, feat).  Caller guards with bwd3_fits_vmem.
+    """
+    if interpret is None:
+        try:
+            interpret = jax.devices()[0].platform != "tpu"
+        except RuntimeError:
+            interpret = True
+
+    n, d_sz, h0, w0 = feat.shape
+    pad_h8 = (-h0) % 8
+    pad_w128 = (-w0) % 128
+    if pad_h8 or pad_w128:
+        # zero-padded gates keep padded voxels inert (see forward); the
+        # adjoint leaks into padding but never flows back through zero gates
+        pads = ((0, 0), (0, 0), (0, pad_h8), (0, pad_w128))
+        wbar, x0bar = affinity_propagate3d_fused_bwd(
+            jnp.pad(feat, pads),
+            jnp.pad(gates, ((0, 0), (0, 0), (0, 0), (0, pad_h8), (0, pad_w128))),
+            jnp.pad(ct, pads),
+            steps=steps,
+            interpret=interpret,
+        )
+        return wbar[..., :h0, :w0], x0bar[..., :h0, :w0]
+
+    ckpt_every = _pick_ckpt_every(steps)
+    n_seg = steps // ckpt_every
+    h, w = h0, w0
+
+    # pre-unshift gates along W in XLA (g2[d][.., j] = w_d[.., j - dx_d]) so
+    # the kernel needs no second 26-plane gate buffer
+    g_un = jnp.stack(
+        [_xla_shift_w(gates[:, d], -_OFFS3[d][2]) for d in range(26)],
+        axis=1,
+    ).astype(jnp.bfloat16)
+
+    kernel = functools.partial(
+        _bwd3_kernel, steps=steps, ckpt_every=ckpt_every
+    )
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def one(args):
+        g, x, c, cs = args
+        return pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((26, d_sz, h, w), jnp.float32),
+                jax.ShapeDtypeStruct((d_sz, h, w), jnp.float32),
+            ),
+            in_specs=[vspec] * 4,
+            out_specs=(vspec, vspec),
+            scratch_shapes=[
+                pltpu.VMEM((d_sz + 2, h + 2, w), jnp.float32),  # xpad
+                pltpu.VMEM((d_sz + 2, h + 2, w), jnp.float32),  # vpad
+                pltpu.VMEM((d_sz, h, w), jnp.float32),  # cbar
+                pltpu.VMEM((n_seg, d_sz, h, w), jnp.float32),  # ckpt
+                pltpu.VMEM((ckpt_every, d_sz + 2, h + 2, w), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(g, x, c, cs)
+
+    csum = 1.0 - jnp.sum(gates, axis=1)  # exact at borders (all gates count)
+    wbar, x0bar = jax.lax.map(
+        one,
+        (
+            g_un,
+            feat.astype(jnp.float32),
+            ct.astype(jnp.float32),
+            csum.astype(jnp.float32),
+        ),
+    )
+    return wbar, x0bar
+
+
+def _xla_shift_w(x, dx):
+    """y[..., j] = x[..., j + dx], zero fill (XLA-side, any rank)."""
+    if dx == 0:
+        return x
+    w = x.shape[-1]
+    if dx > 0:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, dx)]
+        return jnp.pad(x, pad)[..., dx : dx + w]
+    pad = [(0, 0)] * (x.ndim - 1) + [(-dx, 0)]
+    return jnp.pad(x, pad)[..., :w]
+
+
 def cspn3d_fused(
     guide: jnp.ndarray,
     feat: jnp.ndarray,

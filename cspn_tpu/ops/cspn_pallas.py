@@ -544,9 +544,36 @@ def _cspn3d_fused_fwd(guide, feat, steps):
 
 
 def _cspn3d_fused_bwd(steps, residuals, ct):
-    # backward rematerializes through the XLA reference (exact linear-
-    # recurrence adjoint; the fused kernel is forward-only)
+    # Fused whole-volume backward kernel when it fits VMEM (checkpointed
+    # in-VMEM replay + adjoint stencil, see cspn3d_pallas._bwd3_kernel);
+    # otherwise rematerialize through the XLA reference (exact adjoint).
     guide, feat = residuals
+    from cspn_tpu.ops import cspn3d_pallas
+
+    n, d_sz, h, w, c = feat.shape
+    if cspn3d_pallas.bwd3_fits_vmem(d_sz, h, w, steps):
+        # recompute the per-channel normalized gates (cheap, one-shot), run
+        # the fused propagation VJP, then push through the normalization
+        # (quotient rule) and abs in XLA
+        eps = 1e-12
+        gbars, fbars = [], []
+        for ch in range(c):
+            g_raw = guide[..., ch * 26 : (ch + 1) * 26]
+            a = jnp.abs(g_raw)
+            s_sum = jnp.sum(a, axis=-1, keepdims=True)
+            s_m = jnp.maximum(s_sum, eps)
+            w_cf = jnp.moveaxis(a / s_m, -1, 1)  # [N, 26, D, H, W]
+            wbar_cf, x0bar = cspn3d_pallas.affinity_propagate3d_fused_bwd(
+                feat[..., ch], w_cf, ct[..., ch], steps=steps
+            )
+            wbar = jnp.moveaxis(wbar_cf, 1, -1)
+            # w = a / max(sum a, eps):  abar = wbar/S - [sum>eps] <wbar, a>/S^2
+            inner = jnp.sum(wbar * a, axis=-1, keepdims=True) / (s_m * s_m)
+            abar = wbar / s_m - jnp.where(s_sum > eps, inner, 0.0)
+            gbars.append(jnp.sign(g_raw) * abar)
+            fbars.append(x0bar)
+        return jnp.concatenate(gbars, axis=-1), jnp.stack(fbars, axis=-1)
+
     _, vjp = jax.vjp(
         lambda g, f: cspn_ref.cspn_nd_reference(g, f, kernel_size=3, steps=steps),
         guide,

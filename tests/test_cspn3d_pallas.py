@@ -48,6 +48,96 @@ def test_fused3d_h_not_divisible(rng):
     )
 
 
+@pytest.mark.parametrize("steps", [1, 4, 6])
+def test_fused3d_bwd_matches_autodiff(rng, steps):
+    """Fused whole-volume backward kernel vs autodiff of the jnp reference
+    (fixed normalized gates; interpret mode)."""
+    import jax
+
+    from cspn_tpu.ops.cspn3d_pallas import affinity_propagate3d_fused_bwd
+
+    n, d, h, w = 1, 4, 8, 16
+    gates = jnp.asarray(_norm_gates(rng, n, d, h, w))
+    feat = jnp.asarray(rng.standard_normal((n, d, h, w), dtype=np.float32))
+    ct = jnp.asarray(rng.standard_normal((n, d, h, w), dtype=np.float32))
+
+    def ref_prop(g, x):
+        y = x[..., None]
+        g_cl = jnp.moveaxis(g, 1, -1)
+        for _ in range(steps):
+            y = affinity_propagate_reference(y, g_cl)
+        return y[..., 0]
+
+    _, vjp = jax.vjp(ref_prop, gates, feat)
+    want_wbar, want_xbar = vjp(ct)
+
+    got_wbar, got_xbar = affinity_propagate3d_fused_bwd(
+        feat, gates, ct, steps=steps, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_xbar), np.asarray(want_xbar), rtol=2e-2, atol=2e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_wbar), np.asarray(want_wbar), rtol=2e-2, atol=3e-2
+    )
+
+
+def test_fused3d_bwd_padded_shape(rng):
+    """Backward with H/W not tile-aligned (exercises the pad/crop path)."""
+    import jax
+
+    from cspn_tpu.ops.cspn3d_pallas import affinity_propagate3d_fused_bwd
+
+    n, d, h, w = 1, 3, 6, 10
+    gates = jnp.asarray(_norm_gates(rng, n, d, h, w))
+    feat = jnp.asarray(rng.standard_normal((n, d, h, w), dtype=np.float32))
+    ct = jnp.asarray(rng.standard_normal((n, d, h, w), dtype=np.float32))
+
+    def ref_prop(g, x):
+        y = x[..., None]
+        g_cl = jnp.moveaxis(g, 1, -1)
+        for _ in range(3):
+            y = affinity_propagate_reference(y, g_cl)
+        return y[..., 0]
+
+    _, vjp = jax.vjp(ref_prop, gates, feat)
+    want_wbar, want_xbar = vjp(ct)
+    got_wbar, got_xbar = affinity_propagate3d_fused_bwd(
+        feat, gates, ct, steps=3, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_xbar), np.asarray(want_xbar), rtol=2e-2, atol=2e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_wbar), np.asarray(want_wbar), rtol=2e-2, atol=3e-2
+    )
+
+
+def test_cspn_nd_fast_path_grads_match_reference(rng):
+    """End-to-end grads of the fused nd fast path (raw guide -> normalized
+    gates -> propagation) vs autodiff of cspn_nd_reference."""
+    import jax
+
+    from cspn_tpu.ops.cspn_pallas import cspn_nd_pallas
+
+    n, d, h, w, c = 1, 4, 8, 16, 1
+    guide = jnp.asarray(
+        rng.standard_normal((n, d, h, w, c * 26), dtype=np.float32)
+    )
+    feat = jnp.asarray(rng.standard_normal((n, d, h, w, c), dtype=np.float32))
+
+    def loss_fast(g, f):
+        return jnp.sum(cspn_nd_pallas(g, f, steps=4) ** 2)
+
+    def loss_ref(g, f):
+        return jnp.sum(cspn_nd_reference(g, f, steps=4) ** 2)
+
+    gg, gf = jax.grad(loss_fast, argnums=(0, 1))(guide, feat)
+    wg, wf = jax.grad(loss_ref, argnums=(0, 1))(guide, feat)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(wf), rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(gg), np.asarray(wg), rtol=2e-2, atol=3e-2)
+
+
 def test_cspn3d_fused_module_matches_reference(rng):
     n, d, h, w, c = 1, 4, 8, 16, 1
     guide = jnp.asarray(rng.random((n, d, h, w, c * 26), dtype=np.float32))
