@@ -68,20 +68,20 @@ _BY_DX = {
 # of the reference (below) while keeping the fused forward.
 _VMEM_LIMIT_BYTES = 100 * 1024 * 1024
 _VMEM_BUDGET_BYTES = 96 * 1024 * 1024
-# The backward kernel's unrolled replay makes Mosaic compile time blow up
-# past ~NYU-scale images (228x912 took >10 min); cap it by VMEM-at-16MB
-# equivalence (~150k px) and remat through XLA above that.
-_BWD_AREA_LIMIT = 150_000
-
-
 def fwd_fits_vmem(h: int, w: int) -> bool:
     # inputs (8+1+1) + output, x2 for grid double-buffering, + 9 scratch
     return 31 * h * w * 4 <= _VMEM_BUDGET_BYTES
 
 
 def bwd_fits_vmem(h: int, w: int, steps: int) -> bool:
-    planes = 32 + max(0, -(-steps // _CKPT) - 1 - 5)
-    return h * w <= _BWD_AREA_LIMIT and planes * h * w * 4 <= _VMEM_BUDGET_BYTES
+    # Backward buffers (fori_loop form -- compile time is steps-independent):
+    # guid/dguid (aliased, 8) + g2 (8) + 8 single planes + ckpt (n_seg) +
+    # seg (ckpt_every) + xpad + ~5 planes of vector temps, at Mosaic-padded
+    # tile sizes.
+    hp, wp = h + (-h) % 8, w + (-w) % 128
+    ck = _pick_ckpt(steps)
+    planes = 30 + steps // ck + ck
+    return planes * hp * wp * 4 <= _VMEM_BUDGET_BYTES
 
 
 def _interpret_default() -> bool:
@@ -229,8 +229,8 @@ def _cspn2d_pallas_impl(
 # Reverse-mode through the linear recurrence x_{t+1} = keep*S(x_t) + base:
 #   - gate prep identical to the forward (signed G2 stored; abs taken at use
 #     for '8sum_abs' so the sign survives for the normalization backward),
-#   - forward replay with checkpoints every _CKPT steps (VMEM holds only
-#     ceil(T/_CKPT) checkpoint planes + one _CKPT-deep segment buffer),
+#   - forward replay with checkpoints every _pick_ckpt(steps) steps (VMEM
+#     holds T/ckpt checkpoint planes + one ckpt-deep segment buffer),
 #   - per reverse step: ubar_dx = shift_W(keep*v, -dx) (2 lane shifts),
 #     gate-grad FMA into the (aliased) dguidance buffer, and the adjoint
 #     stencil accumulated per-row-offset into the padded xbar buffer,
@@ -244,6 +244,15 @@ def _cspn2d_pallas_impl(
 _CKPT = 4
 
 
+def _pick_ckpt(steps: int) -> int:
+    """Largest checkpoint interval <= _CKPT that divides `steps` (uniform
+    segments keep the fori_loop bodies shape-invariant)."""
+    for c in (_CKPT, 3, 2):
+        if steps % c == 0:
+            return min(c, steps)
+    return 1
+
+
 def _bwd_kernel(
     guid_ref,  # (8, H, W) in VMEM -- ALIASED with dguid_ref
     blur_ref,  # (H, W)
@@ -254,15 +263,16 @@ def _bwd_kernel(
     g2_ref,  # (8, H, W) scratch: signed normalized lane-unshifted gates
     inv_ref,  # (H, W) scratch: 1/A (0 where A == 0)
     gsum_ref,  # (H, W) scratch
-    ckpt_ref,  # (S-1, H, W) scratch: x at segment starts (seg 0 start = blur)
-    seg_ref,  # (_CKPT, H+2, W) scratch: padded step inputs of one segment
+    ckpt_ref,  # (n_seg, H, W) scratch: x at segment starts (ckpt[0] = blur)
+    seg_ref,  # (ckpt_every, H+2, W) scratch: padded step inputs of a segment
     xpad_ref,  # (H+2, W) scratch
+    v_ref,  # (H, W) scratch: adjoint state
+    bbar_ref,  # (H, W) scratch: accumulated base cotangent
     *,
     steps: int,
     norm_abs: bool,
 ):
     h, w = blur_ref.shape
-    n_seg = -(-steps // _CKPT)
 
     # ---- gate prep (signed) ----
     xpad_ref[:] = jnp.zeros_like(xpad_ref)
@@ -308,37 +318,61 @@ def _bwd_kernel(
         y = u[0] + _shift_w(u[1], 1) + _shift_w(u[-1], -1)
         return (keep * y + base) if keep is not None else (y + base)
 
-    # ---- forward replay storing segment-start checkpoints ----
+    # ---- forward pass storing segment-start checkpoints ----
+    # fori_loop form (not Python-unrolled): code is emitted once per loop
+    # body, so Mosaic compile time no longer scales with `steps` and the
+    # fused backward stays usable at KITTI-size images.
+    ckpt_every = _pick_ckpt(steps)
+    n_seg = steps // ckpt_every
     xpad_ref[:] = jnp.zeros_like(xpad_ref)
     xpad_ref[1 : h + 1, :] = x0
-    for t in range(steps):
-        if t > 0 and t % _CKPT == 0:
-            ckpt_ref[t // _CKPT - 1] = xpad_ref[1 : h + 1, :]
-        xpad_ref[1 : h + 1, :] = fwd_step(xpad_ref)
+    ckpt_ref[0] = x0
+
+    def seg_fwd(s, carry):
+        def stepk(_, c2):
+            xpad_ref[1 : h + 1, :] = fwd_step(xpad_ref)
+            return c2
+
+        lax.fori_loop(0, ckpt_every, stepk, 0, unroll=False)
+        ckpt_ref[s + 1] = xpad_ref[1 : h + 1, :]
+        return carry
+
+    lax.fori_loop(0, n_seg - 1, seg_fwd, 0, unroll=False)
 
     # ---- reverse sweep ----
     for d in range(8):
         dguid_ref[d] = jnp.zeros((h, w), jnp.float32)  # holds G2bar during sweep
-    bbar = jnp.zeros((h, w), jnp.float32)
-    v = ct_ref[:]
+    bbar_ref[:] = jnp.zeros((h, w), jnp.float32)
+    v_ref[:] = ct_ref[:]
 
-    for s in range(n_seg - 1, -1, -1):
-        t0 = s * _CKPT
-        seg_len = min(_CKPT, steps - t0)
-        # recompute the segment's step inputs x_{t0}..x_{t0+seg_len-1}
+    def seg_bwd(i, carry):
+        s = n_seg - 1 - i
+        # recompute the segment's step inputs x_{t0}..x_{t0+ckpt_every-1}
         xpad_ref[:] = jnp.zeros_like(xpad_ref)
-        xpad_ref[1 : h + 1, :] = x0 if s == 0 else ckpt_ref[s - 1]
-        for k in range(seg_len):
+        xpad_ref[1 : h + 1, :] = ckpt_ref[s]
+
+        def rek(k, c2):
             seg_ref[k] = xpad_ref[:]
-            if k + 1 < seg_len:
+
+            @pl.when(k + 1 < ckpt_every)
+            def _():
                 xpad_ref[1 : h + 1, :] = fwd_step(xpad_ref)
-        for k in range(seg_len - 1, -1, -1):
-            bbar = bbar + v
+
+            return c2
+
+        lax.fori_loop(0, ckpt_every, rek, 0, unroll=False)
+
+        def rev(k2, c2):
+            k = ckpt_every - 1 - k2
+            v = v_ref[:]
+            bbar_ref[:] = bbar_ref[:] + v
             wv = keep * v if keep is not None else v
             ubar = {0: wv, 1: _shift_w(wv, -1), -1: _shift_w(wv, 1)}
             # gate grads (into the aliased dguid buffer)
             for d, (dy, dx) in enumerate(_OFFS):
-                dguid_ref[d] = dguid_ref[d] + ubar[dx] * seg_ref[k][1 + dy : 1 + dy + h, :]
+                dguid_ref[d] = dguid_ref[d] + ubar[dx] * seg_ref[
+                    k, 1 + dy : 1 + dy + h, :
+                ]
             # adjoint stencil: xbar rows grouped by dy
             xpad_ref[:] = jnp.zeros_like(xpad_ref)
             for dy in (-1, 0, 1):
@@ -350,9 +384,17 @@ def _bwd_kernel(
                 xpad_ref[1 + dy : 1 + dy + h, :] = (
                     xpad_ref[1 + dy : 1 + dy + h, :] + contrib
                 )
-            v = xpad_ref[1 : h + 1, :]
+            v_ref[:] = xpad_ref[1 : h + 1, :]
+            return c2
+
+        lax.fori_loop(0, ckpt_every, rev, 0, unroll=False)
+        return carry
+
+    lax.fori_loop(0, n_seg, seg_bwd, 0, unroll=False)
 
     # ---- epilogue: input gradients ----
+    v = v_ref[:]
+    bbar = bbar_ref[:]
     if keep is not None:
         dblur_ref[:] = v + bbar * (keep * (1.0 - gsum_ref[:]) + m)
         gsumbar = -bbar * keep * x0
@@ -385,9 +427,10 @@ def _bwd_kernel(
 
 def _bwd_kernel_nosparse(guid_ref, blur_ref, ct_ref, dguid_ref, dblur_ref,
                          g2_ref, inv_ref, gsum_ref, ckpt_ref, seg_ref,
-                         xpad_ref, **kw):
+                         xpad_ref, v_ref, bbar_ref, **kw):
     _bwd_kernel(guid_ref, blur_ref, None, ct_ref, dguid_ref, dblur_ref,
-                g2_ref, inv_ref, gsum_ref, ckpt_ref, seg_ref, xpad_ref, **kw)
+                g2_ref, inv_ref, gsum_ref, ckpt_ref, seg_ref, xpad_ref,
+                v_ref, bbar_ref, **kw)
 
 
 def _cspn2d_bwd_pallas(guidance_cf, blur_depth, sparse_depth, ct, steps,
@@ -395,7 +438,8 @@ def _cspn2d_bwd_pallas(guidance_cf, blur_depth, sparse_depth, ct, steps,
     """Per-image fused backward; batch handled with lax.map."""
     n, _, h, w = guidance_cf.shape
     use_sparse = sparse_depth is not None
-    n_seg = -(-steps // _CKPT)
+    ckpt_every = _pick_ckpt(steps)
+    n_seg = steps // ckpt_every
     kernel = functools.partial(
         _bwd_kernel if use_sparse else _bwd_kernel_nosparse,
         steps=steps,
@@ -422,9 +466,11 @@ def _cspn2d_bwd_pallas(guidance_cf, blur_depth, sparse_depth, ct, steps,
                 pltpu.VMEM((8, h, w), jnp.float32),  # g2
                 pltpu.VMEM((h, w), jnp.float32),  # inv
                 pltpu.VMEM((h, w), jnp.float32),  # gsum
-                pltpu.VMEM((max(n_seg - 1, 1), h, w), jnp.float32),  # ckpt
-                pltpu.VMEM((_CKPT, h + 2, w), jnp.float32),  # seg
+                pltpu.VMEM((n_seg, h, w), jnp.float32),  # ckpt
+                pltpu.VMEM((ckpt_every, h + 2, w), jnp.float32),  # seg
                 pltpu.VMEM((h + 2, w), jnp.float32),  # xpad
+                pltpu.VMEM((h, w), jnp.float32),  # v
+                pltpu.VMEM((h, w), jnp.float32),  # bbar
             ],
             input_output_aliases={0: 0},  # guidance buffer -> gate grads
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES),
