@@ -22,6 +22,10 @@ def _add_common_overrides(p: argparse.ArgumentParser):
     p.add_argument("--eval-list", default=None)
     p.add_argument("--root-dir", default=None)
     p.add_argument("--n-sample", type=int, default=None)
+    p.add_argument("--input-format", dest="input_format", default=None,
+                   choices=["hdf5", "img"],
+                   help="hdf5: one-column manifest of .h5 frames; "
+                        "img: two-column manifest of (rgb, depth) images")
     p.add_argument("--batch-size-train", type=int, default=None)
     p.add_argument("--batch-size-eval", type=int, default=None)
     p.add_argument("--model", default=None, help="resnet18|34|50|101|152")
@@ -64,6 +68,7 @@ def _build_config(args):
         ("eval_list", data, "eval_list"),
         ("root_dir", data, "root_dir"),
         ("n_sample", data, "n_sample"),
+        ("input_format", data, "input_format"),
         ("batch_size_train", data, "batch_size_train"),
         ("batch_size_eval", data, "batch_size_eval"),
         ("model", model, "arch"),

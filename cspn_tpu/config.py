@@ -32,6 +32,10 @@ class DataConfig:
     train_list: str = "data/nyudepth_hdf5/nyudepth_hdf5_train.csv"
     eval_list: str = "data/nyudepth_hdf5/nyudepth_hdf5_val.csv"
     root_dir: str = "."
+    # 'hdf5': one-column manifest of per-frame h5 files; 'img': two-column
+    # manifest of (rgb, depth) image paths (reference input_format flag,
+    # nyu_dataset_loader.py:49-71 / kitti_dataset_loader.py:48-77)
+    input_format: str = "hdf5"
     n_sample: int = 500
     batch_size_train: int = 8
     batch_size_eval: int = 1

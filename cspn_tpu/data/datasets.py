@@ -33,11 +33,38 @@ from cspn_tpu.data import transforms as T
 
 def read_manifest(csv_file: str) -> list[str]:
     """Read a datalist CSV (header row + one path per line)."""
+    return [r[0] for r in read_manifest_rows(csv_file)]
+
+
+def read_manifest_rows(csv_file: str) -> list[list[str]]:
+    """Read a datalist CSV keeping all columns (img-format lists have two:
+    rgb path, depth path -- nyu_dataset_loader.py:52-60)."""
     with open(csv_file, newline="") as f:
         rows = list(csv.reader(f))
-    if rows and rows[0] and rows[0][0].strip().lower() in ("name", "path"):
+    if rows and rows[0] and rows[0][0].strip().lower() in ("name", "path", "rgb"):
         rows = rows[1:]
-    return [r[0] for r in rows if r]
+    return [r for r in rows if r]
+
+
+def load_img_pair(rgb_path: str, depth_path: str) -> tuple[Image.Image, Image.Image]:
+    """PNG/JPEG frame pair -> (RGB image, mode-'F' depth image).
+
+    Mirrors the reference 'img' input format (nyu_dataset_loader.py:51-60 /
+    kitti_dataset_loader.py:50-60): rgb is `Image.open().convert('RGB')`, the
+    depth image is opened in its native mode and later passed through
+    torchvision `ToTensor`, which divides by 255 only for byte-backed modes
+    (uint8) and keeps 16/32-bit integer and float images un-scaled.  We fold
+    that scaling in here and hand back a mode-'F' image so the rest of the
+    transform chain is format-agnostic.
+    """
+    rgb = Image.open(rgb_path).convert("RGB")
+    d = Image.open(depth_path)
+    arr = np.asarray(d, dtype=np.float32)
+    if arr.ndim == 3:  # depth stored as an RGB-ish image: use the first band
+        arr = arr[..., 0]
+    if d.mode in ("L", "P", "RGB", "RGBA", "1"):
+        arr = arr / 255.0  # torchvision ToTensor semantics for byte images
+    return rgb, Image.fromarray(arr, mode="F")
 
 
 def load_h5_frame(path: str) -> tuple[np.ndarray, np.ndarray]:
@@ -90,8 +117,13 @@ class _DepthCompletionDataset:
         use_native: bool = True,
         crop_hw: tuple[int, int] | None = None,
         box_crop: tuple[int, int, int, int] | None | str = "default",
+        input_format: str = "hdf5",
     ):
-        self.paths = read_manifest(csv_file)
+        if input_format not in ("hdf5", "img"):
+            raise ValueError(f"unsupported input_format {input_format!r}")
+        self.input_format = input_format
+        self.rows = read_manifest_rows(csv_file)
+        self.paths = [r[0] for r in self.rows]
         self.root_dir = root_dir
         self.split = split
         self.n_sample = n_sample
@@ -115,6 +147,17 @@ class _DepthCompletionDataset:
         return np.random.default_rng((self._seed, idx))
 
     def _load(self, idx: int) -> tuple[Image.Image, Image.Image]:
+        if self.input_format == "img":
+            row = self.rows[idx]
+            if len(row) < 2:
+                raise ValueError(
+                    "input_format='img' needs a two-column manifest "
+                    "(rgb path, depth path)"
+                )
+            return load_img_pair(
+                os.path.join(self.root_dir, row[0]),
+                os.path.join(self.root_dir, row[1]),
+            )
         path = os.path.join(self.root_dir, self.paths[idx])
         rgb, depth = load_h5_frame(path)
         return Image.fromarray(rgb, mode="RGB"), Image.fromarray(depth, mode="F")

@@ -16,7 +16,7 @@ _SYNTH_HW = (64, 96)
 def build_dataset(cfg: RunConfig, split: str, seed=None, return_raw_rgb=False):
     d = cfg.data
     # geometry overrides: box_crop None = dataset default, () = disabled
-    geom = dict(crop_hw=d.crop_hw)
+    geom = dict(crop_hw=d.crop_hw, input_format=d.input_format)
     if d.box_crop is not None:
         geom["box_crop"] = tuple(d.box_crop) if len(d.box_crop) else None
     if d.dataset == "nyudepth":

@@ -57,6 +57,58 @@ def test_nyu_train_sample_geometry_and_channels(h5_fixture):
     np.testing.assert_allclose(sparse[nz], s["depth"][nz], rtol=1e-6)
 
 
+@pytest.fixture(scope="module")
+def img_fixture(tmp_path_factory):
+    """Write PNG (rgb, 16-bit depth) pairs + a two-column manifest
+    (reference input_format='img', nyu_dataset_loader.py:51-60)."""
+    root = tmp_path_factory.mktemp("img")
+    rng = np.random.default_rng(1)
+    rows = []
+    for i in range(2):
+        rgb = rng.integers(0, 255, (480, 640, 3), dtype=np.uint8)
+        # depth in millimetre-ish integer units, stored as 32-bit 'I' PNG
+        depth = rng.integers(500, 8000, (480, 640)).astype(np.int32)
+        rp, dp = root / f"{i}_rgb.png", root / f"{i}_depth.png"
+        Image.fromarray(rgb).save(rp)
+        Image.fromarray(depth, mode="I").save(dp)
+        rows.append(f"{rp},{dp}")
+    csv_path = root / "list.csv"
+    csv_path.write_text("rgb,depth\n" + "\n".join(rows) + "\n")
+    return str(csv_path), root
+
+
+def test_img_format_dataset(img_fixture):
+    csv_path, root = img_fixture
+    ds = NyuDepthDataset(csv_path, split="val", n_sample=500, seed=3,
+                         input_format="img")
+    s = ds[0]
+    assert s["rgbd"].shape == (228, 304, 4)
+    # integer-mode depth PNGs are NOT scaled by 255 (torchvision ToTensor
+    # keeps 'I' images un-scaled) -- values stay in their raw units
+    assert s["depth"].max() > 100.0
+    nz = s["rgbd"][..., 3] > 0
+    np.testing.assert_allclose(s["rgbd"][..., 3][nz], s["depth"][nz], rtol=1e-6)
+
+    # byte-mode depth images DO get the /255 ToTensor scaling
+    from cspn_tpu.data.datasets import load_img_pair
+
+    gray = root / "g.png"
+    Image.fromarray(np.full((32, 32), 51, dtype=np.uint8)).save(gray)
+    _, d = load_img_pair(str(root / "0_rgb.png"), str(gray))
+    np.testing.assert_allclose(np.asarray(d), 0.2, rtol=1e-6)
+
+
+def test_img_format_kitti_train(img_fixture):
+    csv_path, _ = img_fixture
+    # full KITTI train chain (box crop needs wide frames; fixture is 640 wide
+    # so override geometry) -- exercises rotate/jitter/flip on img input
+    ds = KittiDataset(csv_path, split="train", n_sample=200, seed=0,
+                      input_format="img", crop_hw=(128, 256), box_crop=None)
+    s = ds[0]
+    assert s["rgbd"].shape == (128, 256, 4)
+    assert s["depth"].shape == (128, 256)
+
+
 def test_nyu_val_deterministic_with_seed(h5_fixture):
     a = NyuDepthDataset(h5_fixture, split="val", n_sample=500, seed=7)[1]
     b = NyuDepthDataset(h5_fixture, split="val", n_sample=500, seed=7)[1]
