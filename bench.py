@@ -56,37 +56,46 @@ def _timed_repeat(fn, variables, x, rng, repeats, trials=5):
     return float(np.median(times)) / repeats
 
 
-def bench_model(batch=16, repeats=16, steps=24):
+def bench_model(batch=64, repeats=8, steps=24):
     """Per-backend frames/s via on-device repetition (robust to the device
-    tunnel's per-call RPC overhead and execution caching)."""
+    tunnel's per-call RPC overhead and execution caching).
+
+    'reference' = the naive translation of the reference to XLA: plain
+    unpool-then-conv decoder, composed CSPN, f32 weights (the reference
+    runs f32 on GPU).  'pallas' = the TPU-native serving config: sub-pixel
+    decoder + fused CSPN kernel + bf16-resident weights/activations (the
+    CSPN post-process stays f32).  Identical math/param layout.
+    """
     import jax
     import jax.numpy as jnp
 
     from cspn_tpu.models import cspn_unet_resnet50
+    from cspn_tpu.utils.precision import cast_floating
 
     rng = np.random.default_rng()  # OS entropy: unique values per run
     x = jnp.asarray(rng.standard_normal((batch, 228, 304, 4)), jnp.float32)
 
     results = {}
     variables = None
-    # 'reference' = the naive translation of the reference to XLA: plain
-    # unpool-then-conv decoder + composed CSPN; 'pallas' = the TPU-native
-    # design (sub-pixel decoder + fused CSPN kernel). Identical math/params.
     for backend in ("pallas", "reference"):
         if jax.devices()[0].platform != "tpu" and backend == "pallas":
             backend_eff = "reference"  # no TPU: measure reference twice
         else:
             backend_eff = backend
+        tpu_native = backend == "pallas"
         model = cspn_unet_resnet50(
-            cspn_backend=backend_eff, subpixel=backend == "pallas"
+            cspn_backend=backend_eff,
+            subpixel=tpu_native,
+            dtype=jnp.bfloat16 if tpu_native else None,
         )
         if variables is None:
             t0 = time.time()
             variables = jax.jit(model.init)(jax.random.PRNGKey(0), x[:1])
             jax.block_until_ready(variables)
             log(f"init: {time.time() - t0:.1f}s")
-        fn = _make_repeated(model, variables, repeats)
-        t = _timed_repeat(fn, variables, x, rng, repeats)
+        v = cast_floating(variables, jnp.bfloat16) if tpu_native else variables
+        fn = _make_repeated(model, v, repeats)
+        t = _timed_repeat(fn, v, x, rng, repeats)
         fps = batch / t
         results[backend] = fps
         log(f"{backend}: {t * 1e3:.2f} ms/batch{batch} -> {fps:.1f} frames/s")
@@ -102,7 +111,7 @@ def main():
             {
                 "metric": "nyu_eval_frames_per_s",
                 "value": round(fps, 2),
-                "unit": "frames/s/chip (ResNet50-UNet + 24-step CSPN, 228x304)",
+                "unit": "frames/s/chip (ResNet50-UNet + 24-step CSPN, 228x304, b64)",
                 "vs_baseline": round(ratio, 3),
             }
         )

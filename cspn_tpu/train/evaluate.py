@@ -42,6 +42,16 @@ def load_eval_state(cfg: RunConfig, checkpoint: str = "best_model"):
         print(f"==> loaded {checkpoint} from {cfg.best_model_dir}")
     else:
         print(f"==> WARNING: no {checkpoint} in {cfg.best_model_dir}; random params")
+    if cfg.model.dtype == "bfloat16":
+        # serving precision: bf16-resident weights halve the decoder's ~1 GB
+        # of per-batch parameter HBM traffic (utils/precision.py); training
+        # checkpoints keep f32 masters, the cast happens at load time
+        from cspn_tpu.utils.precision import cast_floating
+
+        state = state.replace(
+            params=cast_floating(state.params),
+            batch_stats=cast_floating(state.batch_stats),
+        )
     return model, state
 
 

@@ -146,3 +146,32 @@ def test_end_to_end_smoke_train(tmp_path):
     p1 = jax.tree_util.tree_leaves(trainer.state.params)[0]
     p2 = jax.tree_util.tree_leaves(trainer2.state.params)[0]
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2))
+
+
+def test_bf16_serving_cast_and_apply():
+    """cast_floating converts all float leaves; a bf16-dtype model applies
+    with bf16-resident params and returns f32 depth (the serving config
+    bench.py measures)."""
+    import jax.numpy as jnp
+
+    from cspn_tpu.models import cspn_unet_resnet18
+    from cspn_tpu.utils.precision import cast_floating
+
+    x = jnp.zeros((1, 32, 48, 4), jnp.float32)
+    m32 = cspn_unet_resnet18(cspn_steps=4)
+    v = jax.jit(m32.init)(jax.random.PRNGKey(0), x)
+    v16 = cast_floating(v, jnp.bfloat16)
+    leaves = jax.tree_util.tree_leaves(v16)
+    assert all(
+        l.dtype == jnp.bfloat16
+        for l in leaves
+        if jnp.issubdtype(l.dtype, jnp.floating)
+    )
+    m16 = cspn_unet_resnet18(cspn_steps=4, dtype=jnp.bfloat16)
+    y16 = jax.jit(m16.apply)(v16, x + 1.0)
+    assert y16.dtype == jnp.float32 and y16.shape == (1, 32, 48)
+    y32 = jax.jit(m32.apply)(v, x + 1.0)
+    # same math modulo bf16 rounding
+    assert float(jnp.max(jnp.abs(y16 - y32))) < 0.1 * float(
+        jnp.max(jnp.abs(y32)) + 1e-6
+    )
