@@ -43,6 +43,10 @@ def _add_common_overrides(p: argparse.ArgumentParser):
     p.add_argument("--resume", "-r", action="store_true")
     p.add_argument("--pretrain-path", default=None,
                    help="torch-format .pth with pretrained encoder weights")
+    p.add_argument("--grad-reduce-dtype", dest="grad_reduce_dtype", default=None,
+                   choices=["bfloat16"],
+                   help="cast DP gradient all-reduce to this dtype "
+                        "(explicit shard_map step; see docs/SCALING.md)")
     p.add_argument("--mesh-data", type=int, default=None)
     p.add_argument("--mesh-spatial", type=int, default=1)
     p.add_argument("--profile-dir", default=None,
@@ -79,6 +83,7 @@ def _build_config(args):
         ("lr", optim, "lr"),
         ("num_epoch", optim, "num_epochs"),
         ("loss", optim, "loss"),
+        ("grad_reduce_dtype", optim, "grad_reduce_dtype"),
     ]:
         v = getattr(args, src, None)
         if v is not None:

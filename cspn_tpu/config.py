@@ -60,6 +60,11 @@ class OptimConfig:
     plateau_factor: float = 0.1
     plateau_patience: int = 3
     plateau_min_lr: float = 1e-6
+    # gradient all-reduce precision for data-parallel training: None keeps
+    # the GSPMD step (f32 reduce, sync-BN); 'bfloat16' selects the explicit
+    # shard_map step that halves the reduce bytes (docs/SCALING.md), with
+    # per-replica BN (the reference's DataParallel semantics)
+    grad_reduce_dtype: Optional[str] = None
 
 
 @dataclasses.dataclass

@@ -81,6 +81,92 @@ def make_train_step(model_train, loss_name: str = "l1"):
     return train_step
 
 
+def make_shard_map_train_step(
+    model_train,
+    mesh,
+    loss_name: str = "l1",
+    grad_reduce_dtype=None,
+    data_axis: str = "data",
+):
+    """Explicit-collective variant of `make_train_step` for data-parallel
+    meshes, built with `shard_map` instead of GSPMD auto-sharding.
+
+    Why it exists: under GSPMD the gradient all-reduce is implicit and runs
+    at the gradient dtype (f32 for f32 masters) — 0.87 GB per step on the
+    flagship (docs/SCALING.md cost model 1).  Making the `psum` explicit
+    lets us cast gradients to `grad_reduce_dtype` (e.g. bfloat16) before
+    the reduce, halving the ICI bytes, and cast back before the optimizer
+    update.  Reduction numerics change (bf16 summands); at reference batch
+    sizes the error is far below gradient noise (pinned in
+    tests/test_parallel.py against the GSPMD step).
+
+    Semantic difference vs the GSPMD step: BatchNorm statistics are
+    per-replica (each shard normalizes with its local batch stats; the
+    running stats are the pmean of the per-shard updates).  That is exactly
+    the reference's `torch.nn.DataParallel` BN behavior (train.py:162-166),
+    whereas the GSPMD step gives true sync-BN.
+
+    Only data-parallel meshes are supported (the in-model spatially-sharded
+    CSPN path already uses shard_map internally and cannot nest).
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    if "spatial" in mesh.shape and mesh.shape["spatial"] != 1:
+        raise ValueError(
+            "make_shard_map_train_step supports data-only meshes; "
+            "use the GSPMD step (make_train_step) with spatial sharding"
+        )
+    loss_fn = _loss_fn(loss_name)
+
+    def per_shard(state: TrainState, rgbd, depth):
+        def compute_loss(params):
+            out, updates = model_train.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                rgbd,
+                mutable=["batch_stats"],
+            )
+            return loss_fn(out, depth), (out, updates)
+
+        (loss, (out, updates)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True
+        )(state.params)
+        if grad_reduce_dtype is not None:
+            dt = jnp.dtype(grad_reduce_dtype)
+            grads = jax.tree.map(lambda g: g.astype(dt), grads)
+        grads = jax.lax.pmean(grads, data_axis)
+        grads = jax.tree.map(
+            lambda g, p: g.astype(p.dtype), grads, state.params
+        )
+        new_stats = jax.lax.pmean(updates["batch_stats"], data_axis)
+        new_state = state.apply_gradients(grads=grads).replace(
+            batch_stats=new_stats
+        )
+        loss = jax.lax.pmean(loss, data_axis)
+        error = jax.lax.pmean(evaluate_error(depth, out), data_axis)
+        # RMSE = sqrt(mean) is nonlinear: recompute from the reduced MSE so
+        # it reports the global-batch statistic like the GSPMD step (iRMSE
+        # stays the mean of per-shard values — the same quirk as the
+        # reference's avg_error over sub-batches, utils.py:50-57)
+        error["RMSE"] = jnp.sqrt(error["MSE"])
+        return new_state, loss, error
+
+    data_spec = P(data_axis)
+    sharded = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(), data_spec, data_spec),
+        out_specs=(P(), P(), P()),
+        check_rep=False,
+    )
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, rgbd, depth):
+        return sharded(state, rgbd, depth)
+
+    return train_step
+
+
 def make_eval_step(model_eval, loss_name: str = "l1"):
     loss_fn = _loss_fn(loss_name)
 
@@ -161,7 +247,22 @@ class Trainer:
         self.best_rmse = float("inf")
         self.ckpt = ckpt_lib.CheckpointManager(cfg.save_dir)
         self.logger = TsvLogger(cfg.save_dir)
-        self.train_step = make_train_step(self.model_train, cfg.optim.loss)
+        reduce_dt = getattr(cfg.optim, "grad_reduce_dtype", None)
+        if reduce_dt and self.mesh.shape.get("spatial", 1) == 1:
+            self.train_step = make_shard_map_train_step(
+                self.model_train,
+                self.mesh,
+                cfg.optim.loss,
+                grad_reduce_dtype=reduce_dt,
+            )
+        else:
+            if reduce_dt:
+                print(
+                    "# grad_reduce_dtype ignored: shard_map step needs a "
+                    "data-only mesh (spatial=1)",
+                    flush=True,
+                )
+            self.train_step = make_train_step(self.model_train, cfg.optim.loss)
         self.eval_step = make_eval_step(self.model_eval, cfg.optim.loss)
         self.epoch = 0
 

@@ -131,6 +131,147 @@ def test_spatial_cspn_3d_grads_match(mesh24):
     np.testing.assert_allclose(np.asarray(df_s), np.asarray(df_r), rtol=1e-4, atol=1e-5)
 
 
+class _TinyBNNet:
+    """Built lazily to keep flax import inside tests."""
+
+    def __new__(cls, use_bn=True):
+        import flax.linen as nn
+
+        class M(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                # dummy batch_stats var keeps the train step's
+                # updates['batch_stats'] access valid in the BN-free case
+                self.variable("batch_stats", "dummy", lambda: jnp.zeros(()))
+                h = nn.Conv(8, (3, 3))(x)
+                if use_bn:
+                    h = nn.BatchNorm(use_running_average=False)(h)
+                h = nn.relu(h)
+                return nn.Conv(1, (3, 3))(h)[..., 0]
+
+        return M()
+
+
+def _tiny_train_setup(mesh, use_bn=True, identical_shards=True):
+    """Small stable conv net + an 8-shard batch.  With identical shards,
+    per-replica BN == sync-BN exactly, so the shard_map step must match the
+    GSPMD step; with heterogeneous shards (BN-free net) it tests that the
+    explicit gradient pmean equals GSPMD's implicit all-reduce.
+
+    (The full CSPNUNet can't be compared this way: at random init the CSPN
+    gate normalization and ~20 BN layers chaotically amplify reduction-order
+    numerics — measured 1-2% output difference between a batch-1 and an
+    identical-content batch-8 forward — so deep-model coverage is the smoke
+    test below, and op/model numerics are pinned by their own suites.)"""
+    from cspn_tpu.train.state import create_train_state
+
+    model = _TinyBNNet(use_bn=use_bn)
+    rng = np.random.default_rng(3)
+    if identical_shards:
+        x = np.tile(rng.standard_normal((1, 16, 20, 4)).astype(np.float32), (8, 1, 1, 1))
+        y = np.tile(
+            np.abs(rng.standard_normal((1, 16, 20))).astype(np.float32) + 0.1,
+            (8, 1, 1),
+        )
+    else:
+        x = rng.standard_normal((8, 16, 20, 4)).astype(np.float32)
+        # all pixels valid so the global masked-L1 mean == mean of shard means
+        y = np.abs(rng.standard_normal((8, 16, 20))).astype(np.float32) + 0.1
+    state = create_train_state(model, jax.random.PRNGKey(0), jnp.asarray(x[:1]))
+    batch = shard_batch({"x": jnp.asarray(x), "y": jnp.asarray(y)}, mesh)
+    return model, state, batch["x"], batch["y"]
+
+
+def _fresh_replica(state, mesh):
+    """Replicate a deep copy: device_put may alias the source buffers, and
+    the donated train step would otherwise delete the shared original."""
+    return replicate(jax.tree.map(jnp.array, state), mesh)
+
+
+@pytest.mark.parametrize(
+    "use_bn,identical", [(True, True), (False, False)],
+    ids=["syncbn-identical-shards", "nobn-heterogeneous-shards"],
+)
+def test_shard_map_train_step_matches_gspmd(use_bn, identical):
+    from cspn_tpu.train.loop import make_shard_map_train_step, make_train_step
+
+    mesh = make_mesh(data=8, spatial=1)
+    model, state, x, y = _tiny_train_setup(mesh, use_bn, identical)
+    s_g, loss_g, err_g = make_train_step(model)(_fresh_replica(state, mesh), x, y)
+    s_s, loss_s, err_s = make_shard_map_train_step(model, mesh)(
+        _fresh_replica(state, mesh), x, y
+    )
+    np.testing.assert_allclose(float(loss_s), float(loss_g), rtol=1e-5)
+    for pg, ps in zip(jax.tree.leaves(s_g.params), jax.tree.leaves(s_s.params)):
+        np.testing.assert_allclose(np.asarray(ps), np.asarray(pg), rtol=1e-4, atol=1e-6)
+    for bg, bs in zip(
+        jax.tree.leaves(s_g.batch_stats), jax.tree.leaves(s_s.batch_stats)
+    ):
+        np.testing.assert_allclose(np.asarray(bs), np.asarray(bg), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        float(err_s["RMSE"]), float(err_g["RMSE"]), rtol=1e-4
+    )
+
+
+def test_shard_map_train_step_bf16_grad_reduce():
+    from cspn_tpu.train.loop import make_shard_map_train_step, make_train_step
+
+    mesh = make_mesh(data=8, spatial=1)
+    model, state, x, y = _tiny_train_setup(mesh, use_bn=False, identical_shards=False)
+    s_g, _, _ = make_train_step(model)(_fresh_replica(state, mesh), x, y)
+    s_b, loss_b, _ = make_shard_map_train_step(
+        model, mesh, grad_reduce_dtype="bfloat16"
+    )(_fresh_replica(state, mesh), x, y)
+    assert np.isfinite(float(loss_b))
+    # params keep their f32 dtype; values differ from the f32 reduce only by
+    # bf16 rounding of the gradients (lr-scaled, far below param magnitude)
+    for pg, pb in zip(jax.tree.leaves(s_g.params), jax.tree.leaves(s_b.params)):
+        assert pb.dtype == pg.dtype
+        np.testing.assert_allclose(np.asarray(pb), np.asarray(pg), rtol=5e-3, atol=1e-4)
+
+
+def test_shard_map_train_step_full_model_smoke():
+    """The real CSPNUNet through the shard_map step: runs, stays finite, and
+    the returned state is replicated (exact GSPMD-equivalence is untestable
+    at random init — see _tiny_train_setup docstring)."""
+    from cspn_tpu.models.unet import CSPNUNet, _LAYERS
+    from cspn_tpu.train.loop import make_shard_map_train_step
+    from cspn_tpu.train.state import create_train_state
+
+    mesh = make_mesh(data=8, spatial=1)
+    block, layers = _LAYERS[18]
+    model = CSPNUNet(
+        block=block, layers=layers, cspn_steps=4, train=True,
+        cspn_backend="reference",
+    )
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((8, 32, 40, 4)).astype(np.float32))
+    y = jnp.asarray(np.abs(rng.standard_normal((8, 32, 40))).astype(np.float32))
+    state = create_train_state(model, jax.random.PRNGKey(0), x[:1])
+    batch = shard_batch({"x": x, "y": y}, mesh)
+    step = make_shard_map_train_step(model, mesh, grad_reduce_dtype="bfloat16")
+    new_state, loss, err = step(
+        _fresh_replica(state, mesh), batch["x"], batch["y"]
+    )
+    assert np.isfinite(float(loss))
+    assert new_state.params["encoder"]["conv1_1"]["kernel"].sharding.spec == (
+        jax.sharding.PartitionSpec()
+    )
+    assert all(
+        bool(jnp.all(jnp.isfinite(p))) for p in jax.tree.leaves(new_state.params)
+    )
+
+
+def test_shard_map_train_step_rejects_spatial_mesh():
+    from cspn_tpu.train.loop import make_shard_map_train_step
+    from cspn_tpu.models.unet import CSPNUNet, _LAYERS
+
+    block, layers = _LAYERS[18]
+    model = CSPNUNet(block=block, layers=layers, cspn_steps=4, train=True)
+    with pytest.raises(ValueError):
+        make_shard_map_train_step(model, make_mesh(data=2, spatial=4))
+
+
 def test_shard_batch_and_replicate(mesh24):
     batch = {"x": np.ones((4, 6, 8), np.float32)}
     sharded = shard_batch(batch, mesh24)
