@@ -51,24 +51,31 @@ def _depth_to_space2(v: jnp.ndarray, cout: int) -> jnp.ndarray:
 def _subpixel_weights(w: jnp.ndarray, k: int) -> jnp.ndarray:
     """Reindex a k x k kernel (HWIO) applied to a zero-inserted 2x upsample
     into an S x S kernel at half resolution producing 4 phase groups
-    (S = k//2 + 1).  Output channel layout: (py*2+px)*cout + c."""
+    (S = k//2 + 1).  Output channel layout: (py*2+px)*cout + c.
+
+    Built from static slices of `w` stacked/concatenated (pure data
+    movement, one fused pass over the weights; an earlier `.at[].set`
+    scatter-chain formulation cost ~3 ms/step on the flagship because XLA
+    materialized the update chain and its transpose every step)."""
     kh = k // 2
     s_lo = -1 if k >= 5 else 0  # source-offset range: k=5 -> {-1,0,1}, k=3 -> {0,1}
     size = kh + 1
     cin, cout = w.shape[2], w.shape[3]
-    w2 = jnp.zeros((size, size, cin, 4 * cout), w.dtype)
-    for si in range(size):
-        for ti in range(size):
-            s, t = si + s_lo, ti + s_lo
-            for py in range(2):
-                for px in range(2):
+    zeros = jnp.zeros((cin, cout), w.dtype)
+    phases = []
+    for py in range(2):
+        for px in range(2):
+            rows = []
+            for si in range(size):
+                cols = []
+                for ti in range(size):
+                    s, t = si + s_lo, ti + s_lo
                     dy, dx = 2 * s - py, 2 * t - px
-                    if abs(dy) <= kh and abs(dx) <= kh:
-                        ph = (py * 2 + px) * cout
-                        w2 = w2.at[si, ti, :, ph : ph + cout].set(
-                            w[dy + kh, dx + kh]
-                        )
-    return w2
+                    inside = abs(dy) <= kh and abs(dx) <= kh
+                    cols.append(w[dy + kh, dx + kh] if inside else zeros)
+                rows.append(jnp.stack(cols, axis=0))
+            phases.append(jnp.stack(rows, axis=0))  # (S, S, cin, cout)
+    return jnp.concatenate(phases, axis=-1)
 
 
 class SubpixelUnpoolConv(nn.Module):
