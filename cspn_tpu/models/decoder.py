@@ -107,10 +107,13 @@ class SubpixelUnpoolConv(nn.Module):
             (k, k, cin, self.features),
             jnp.float32,
         )
-        w2 = _subpixel_weights(w, k)
         if self.dtype is not None:
+            # cast BEFORE the reindex: the reindex is pure data movement, so
+            # cast-then-move is bit-identical to move-then-cast and halves
+            # the reindex's HBM traffic (it runs every train step)
             x = x.astype(self.dtype)
-            w2 = w2.astype(self.dtype)
+            w = w.astype(self.dtype)
+        w2 = _subpixel_weights(w, k)
         pad = (1, 1) if k >= 5 else (0, 1)
         y = jax.lax.conv_general_dilated(
             x,
