@@ -47,6 +47,10 @@ def _add_common_overrides(p: argparse.ArgumentParser):
                    choices=["bfloat16"],
                    help="cast DP gradient all-reduce to this dtype "
                         "(explicit shard_map step; see docs/SCALING.md)")
+    p.add_argument("--momentum-dtype", dest="momentum_dtype", default=None,
+                   choices=["bfloat16"],
+                   help="store SGD momentum in this dtype (halves the "
+                        "optimizer's HBM buffer traffic; update math stays f32)")
     p.add_argument("--mesh-data", type=int, default=None)
     p.add_argument("--mesh-spatial", type=int, default=1)
     p.add_argument("--profile-dir", default=None,
@@ -84,6 +88,7 @@ def _build_config(args):
         ("num_epoch", optim, "num_epochs"),
         ("loss", optim, "loss"),
         ("grad_reduce_dtype", optim, "grad_reduce_dtype"),
+        ("momentum_dtype", optim, "momentum_dtype"),
     ]:
         v = getattr(args, src, None)
         if v is not None:

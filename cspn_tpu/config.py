@@ -65,6 +65,9 @@ class OptimConfig:
     # shard_map step that halves the reduce bytes (docs/SCALING.md), with
     # per-replica BN (the reference's DataParallel semantics)
     grad_reduce_dtype: Optional[str] = None
+    # momentum accumulator storage dtype: None = f32; 'bfloat16' halves the
+    # optimizer's HBM buffer traffic (update math stays f32)
+    momentum_dtype: Optional[str] = None
 
 
 @dataclasses.dataclass

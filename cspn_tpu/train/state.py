@@ -24,10 +24,21 @@ class TrainState(train_state.TrainState):
     batch_stats: core.FrozenDict[str, Any] = struct.field(default=None)
 
 
-def _sgd(learning_rate: float, momentum: float, weight_decay: float, nesterov: bool):
+def _sgd(
+    learning_rate: float,
+    momentum: float,
+    weight_decay: float,
+    nesterov: bool,
+    accumulator_dtype=None,
+):
     return optax.chain(
         optax.add_decayed_weights(weight_decay),
-        optax.sgd(learning_rate, momentum=momentum, nesterov=nesterov),
+        optax.sgd(
+            learning_rate,
+            momentum=momentum,
+            nesterov=nesterov,
+            accumulator_dtype=accumulator_dtype,
+        ),
     )
 
 
@@ -36,12 +47,25 @@ def make_optimizer(
     momentum: float = 0.9,
     weight_decay: float = 1e-4,
     nesterov: bool = True,
+    momentum_dtype=None,
 ):
-    return optax.inject_hyperparams(_sgd)(
+    """SGD+Nesterov+weight-decay (reference train.py:170-175) with the lr
+    injected as a mutable hyperparameter.
+
+    momentum_dtype: storage dtype of the momentum accumulator.  None keeps
+    f32 (one f32 buffer per param).  'bfloat16' halves the optimizer's HBM
+    read+write traffic for the buffer (~1.1 GB/step on the 285M-param
+    flagship) at the cost of ~8-bit mantissa momentum — the update itself
+    is still computed in f32 (optax casts per step), and params stay f32.
+    """
+    if isinstance(momentum_dtype, str):
+        momentum_dtype = jax.numpy.dtype(momentum_dtype)
+    return optax.inject_hyperparams(_sgd, static_args=("accumulator_dtype",))(
         learning_rate=learning_rate,
         momentum=momentum,
         weight_decay=weight_decay,
         nesterov=nesterov,
+        accumulator_dtype=momentum_dtype,
     )
 
 

@@ -40,6 +40,7 @@ def main():
     ap.add_argument("--height", type=int, default=228)
     ap.add_argument("--width", type=int, default=304)
     ap.add_argument("--loss", default="l1")
+    ap.add_argument("--momentum-dtype", default=None, choices=["bfloat16"])
     args = ap.parse_args()
 
     import jax
@@ -61,7 +62,9 @@ def main():
     depth = jnp.abs(jnp.asarray(rng.standard_normal((b, h, w)), jnp.float32)) + 0.1
 
     t0 = time.time()
-    state = create_train_state(model, jax.random.PRNGKey(0), rgbd[:1])
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), rgbd[:1], momentum_dtype=args.momentum_dtype
+    )
     step = make_train_step(model, args.loss)
     state, loss, _ = step(state, rgbd, depth)  # compile
     float(loss)

@@ -111,6 +111,34 @@ def test_partial_restore_shapes_and_paths():
     assert (out["b"]["d"] == 0).all()
 
 
+def test_bf16_momentum_accumulator():
+    """momentum_dtype='bfloat16' stores the SGD momentum buffer in bf16 but
+    produces updates close to the f32 optimizer (update math stays f32)."""
+    from cspn_tpu.train.state import make_optimizer
+
+    params = {"w": jnp.asarray(np.random.default_rng(0).standard_normal((16, 16)), jnp.float32)}
+    grads = {"w": jnp.asarray(np.random.default_rng(1).standard_normal((16, 16)), jnp.float32)}
+
+    import optax
+
+    tx32 = make_optimizer(0.01)
+    tx16 = make_optimizer(0.01, momentum_dtype="bfloat16")
+    s32, s16 = tx32.init(params), tx16.init(params)
+    p32, p16 = params, params
+    for _ in range(5):
+        u32, s32 = tx32.update(grads, s32, p32)
+        p32 = optax.apply_updates(p32, u32)
+        u16, s16 = tx16.update(grads, s16, p16)
+        p16 = optax.apply_updates(p16, u16)
+    # buffer dtype really is bf16
+    mom = [x for x in jax.tree_util.tree_leaves(s16) if getattr(x, "shape", None) == (16, 16)]
+    assert any(x.dtype == jnp.bfloat16 for x in mom)
+    # trajectories agree to bf16 rounding of the momentum term
+    err = float(jnp.max(jnp.abs(p32["w"] - p16["w"])))
+    scale = float(jnp.max(jnp.abs(p32["w"] - params["w"])))
+    assert err < 0.02 * scale, (err, scale)
+
+
 @pytest.mark.slow
 def test_end_to_end_smoke_train(tmp_path):
     """One epoch on the synthetic dataset: loss finite, checkpoint written,
