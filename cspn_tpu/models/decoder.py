@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from cspn_tpu.models.resnet import BatchNorm, conv
+from cspn_tpu.ops.d2s_pallas import depth_to_space2
 
 
 def unpool2x(x: jnp.ndarray, oheight: int, owidth: int) -> jnp.ndarray:
@@ -41,17 +42,12 @@ def unpool2x(x: jnp.ndarray, oheight: int, owidth: int) -> jnp.ndarray:
     return x[:, :oheight, :owidth, :]
 
 
-def _depth_to_space2(v: jnp.ndarray, cout: int) -> jnp.ndarray:
-    """[N, H, W, 4*cout] (channel = (py*2+px)*cout + c) -> [N, 2H, 2W, cout]."""
-    n, h, w, _ = v.shape
-    v = v.reshape(n, h, w, 2, 2, cout)
-    return v.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * w, cout)
-
-
 def _subpixel_weights(w: jnp.ndarray, k: int) -> jnp.ndarray:
     """Reindex a k x k kernel (HWIO) applied to a zero-inserted 2x upsample
     into an S x S kernel at half resolution producing 4 phase groups
-    (S = k//2 + 1).  Output channel layout: (py*2+px)*cout + c.
+    (S = k//2 + 1).  Output channel layout: (px*2+py)*cout + c -- px-major so
+    the Pallas depth-to-space kernel can interleave both output rows with one
+    pair of full-lane-width permutation matmuls (see ops/d2s_pallas.py).
 
     Built from static slices of `w` stacked/concatenated (pure data
     movement, one fused pass over the weights; an earlier `.at[].set`
@@ -63,8 +59,8 @@ def _subpixel_weights(w: jnp.ndarray, k: int) -> jnp.ndarray:
     cin, cout = w.shape[2], w.shape[3]
     zeros = jnp.zeros((cin, cout), w.dtype)
     phases = []
-    for py in range(2):
-        for px in range(2):
+    for px in range(2):
+        for py in range(2):
             rows = []
             for si in range(size):
                 cols = []
@@ -122,8 +118,9 @@ class SubpixelUnpoolConv(nn.Module):
             padding=(pad, pad),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-        y = _depth_to_space2(y, self.features)
-        return y[:, : self.oheight, : self.owidth, :]
+        # jnp backend: the Pallas single-pass interleave measured SLOWER
+        # in-model than XLA's two-pass lowering (see ops/d2s_pallas.py)
+        return depth_to_space2(y, self.oheight, self.owidth)
 
 
 class UpProj(nn.Module):
