@@ -209,6 +209,7 @@ def cmd_train_stereo(args):
         features=args.features,
         cspn_steps=args.prop_step,
         use_cspn=not args.no_cspn,
+        dtype=args.stereo_dtype or "float32",
         lr=args.lr,
         num_epochs=args.num_epoch,
         batch_size=args.batch_size,
@@ -313,6 +314,10 @@ def main(argv=None):
     p_st.add_argument("--features", type=int, default=16)
     p_st.add_argument("--prop-step", type=int, default=12)
     p_st.add_argument("--no-cspn", action="store_true")
+    p_st.add_argument("--dtype", dest="stereo_dtype", default=None,
+                      choices=["float32", "bfloat16"],
+                      help="conv/activation dtype (bf16 mixed precision; "
+                           "params and CSPN refinement stay f32)")
     p_st.add_argument("--lr", type=float, default=1e-3)
     p_st.add_argument("--num-epoch", type=int, default=5)
     p_st.add_argument("--batch-size", type=int, default=2)

@@ -24,6 +24,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from cspn_tpu.models.resnet import BatchNorm, conv
@@ -35,11 +36,12 @@ class _ConvBnRelu(nn.Module):
     features: int
     stride: int = 1
     train: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
-        x = conv(self.features, 3, self.stride)(x)
-        x = BatchNorm(not self.train, name="bn")(x)
+        x = conv(self.features, 3, self.stride, dtype=self.dtype)(x)
+        x = BatchNorm(not self.train, dtype=self.dtype, name="bn")(x)
         return nn.relu(x)
 
 
@@ -48,19 +50,22 @@ class StereoFeatureExtractor(nn.Module):
 
     features: int = 32
     train: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         f = self.features
-        x = _ConvBnRelu(f, stride=2, train=self.train, name="stem1")(x)
-        x = _ConvBnRelu(f, train=self.train, name="stem2")(x)
-        x = _ConvBnRelu(2 * f, stride=2, train=self.train, name="down")(x)
+        kw = dict(train=self.train, dtype=self.dtype)
+        x = _ConvBnRelu(f, stride=2, **kw, name="stem1")(x)
+        x = _ConvBnRelu(f, **kw, name="stem2")(x)
+        x = _ConvBnRelu(2 * f, stride=2, **kw, name="down")(x)
         for i in range(2):  # residual refinement
-            h = _ConvBnRelu(2 * f, train=self.train, name=f"res{i}a")(x)
-            h = conv(2 * f, 3, name=f"res{i}b")(h)
-            h = BatchNorm(not self.train, name=f"res{i}bn")(h)
+            h = _ConvBnRelu(2 * f, **kw, name=f"res{i}a")(x)
+            h = conv(2 * f, 3, dtype=self.dtype, name=f"res{i}b")(h)
+            h = BatchNorm(not self.train, dtype=self.dtype, name=f"res{i}bn")(h)
             x = nn.relu(x + h)
-        return conv(f, 1, name="proj")(x)  # no bn/relu on matching features
+        # no bn/relu on matching features
+        return conv(f, 1, dtype=self.dtype, name="proj")(x)
 
 
 def build_cost_volume(fl: jnp.ndarray, fr: jnp.ndarray, num_disp: int) -> jnp.ndarray:
@@ -81,40 +86,147 @@ def build_cost_volume(fl: jnp.ndarray, fr: jnp.ndarray, num_disp: int) -> jnp.nd
     return jnp.stack(slices, axis=1)
 
 
+def conv3d_batched2d(
+    xf: jnp.ndarray,
+    kernel: jnp.ndarray,
+    d: int,
+    stride: int = 1,
+) -> jnp.ndarray:
+    """3x3x3 conv over a FLATTENED volume [N*D, H, W, Cin] -> [N*(D/s), H/s, W/s, Cout].
+
+    XLA's native 3D conv lowering on TPU runs at ~10% of the MXU (measured:
+    14.4 ms for the 174-GFLOP stereo hourglass conv0, 0.88 ms peak-time).
+    Here the D axis rides the 2D conv's BATCH dim and the three kd taps are
+    folded into OUTPUT CHANNELS of one 2D conv (kernel [3,3,Cin,3*Cout] --
+    full lane utilization even for the hourglass's 32-channel widths),
+    followed by a D-shifted sum of the three tap groups:
+
+        out[:, j] = Y_kd0[:, s*j-1] + Y_kd1[:, s*j] + Y_kd2[:, s*j+1]
+
+    For stride 1 the shift is a batch roll with the wrap (= cross-image
+    leak) masked to zero at D-boundaries, so the whole post-conv mix is one
+    elementwise fusion and the tensor never leaves the flat layout.
+    Measured 14.4 -> ~2 ms on the conv0 shape; numerics match the native op
+    to f32 conv tolerance (the three tap partial sums round to the compute
+    dtype before the add, exactly like summing three convs).
+
+    kernel: [3, 3, 3, Cin, Cout] (kd, kh, kw, i, o) -- same parameter shape
+    and layout as flax nn.Conv's 3D kernel, so state dicts stay
+    interchangeable with the native formulation.
+    """
+    co = kernel.shape[-1]
+    kall = jnp.concatenate([kernel[0], kernel[1], kernel[2]], axis=-1)
+    y = jax.lax.conv_general_dilated(
+        xf,
+        kall,
+        (stride, stride),
+        ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )  # [N*D, H/s, W/s, 3*Cout]
+    y0, y1, y2 = y[..., :co], y[..., co : 2 * co], y[..., 2 * co :]
+    if stride == 1:
+        b = jax.lax.broadcasted_iota(jnp.int32, (y.shape[0], 1, 1, 1), 0)
+        up = jnp.where(b % d > 0, jnp.roll(y0, 1, axis=0), 0)
+        dn = jnp.where(b % d < d - 1, jnp.roll(y2, -1, axis=0), 0)
+        return up + y1 + dn
+    if stride == 2:
+        n = xf.shape[0] // d
+        dp = (d - 1) // 2 + 1  # output depth, matches lax stride-2 pad-1
+        y5 = y.reshape(n, d, *y.shape[1:])
+        zero = jnp.zeros((n, 1, *y.shape[1:-1], co), y.dtype)
+        up = jnp.concatenate(
+            [zero, y5[:, 1 : 2 * dp - 1 : 2, ..., :co]], axis=1
+        )
+        mid = y5[:, ::2, ..., co : 2 * co]
+        dn = y5[:, 1::2, ..., 2 * co :]
+        if d % 2 == 0:
+            out = up + mid + dn
+        else:  # tap 2j+1 falls outside the volume for the last output slice
+            out = up + mid + jnp.concatenate([dn, zero], axis=1)
+        return out.reshape(n * dp, *y.shape[1:-1], co)
+    raise ValueError(f"unsupported stride {stride}")
+
+
+class _Kernel3d(nn.Module):
+    """Parameter holder: a bare 3D conv kernel at this module's tree path
+    (init matches nn.Conv's default lecun_normal), so fused multi-head convs
+    keep checkpoint-compatible per-head parameters."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(), self.shape, jnp.float32
+        )
+
+
+class Conv3d(nn.Module):
+    """Bias-free 3x3x3 conv on a flattened [N*D, H, W, C] volume via
+    `conv3d_batched2d`; parameter-compatible with nn.Conv's 3D kernel."""
+
+    features: int
+    d: int
+    stride: int = 1
+    dtype: object = None
+    kernel_init: object = nn.initializers.he_normal()
+
+    @nn.compact
+    def __call__(self, xf):
+        k = self.param(
+            "kernel",
+            self.kernel_init,
+            (3, 3, 3, xf.shape[-1], self.features),
+            jnp.float32,
+        )
+        if self.dtype is not None:
+            xf = xf.astype(self.dtype)
+            k = k.astype(self.dtype)
+        return conv3d_batched2d(xf, k, self.d, self.stride)
+
+
 class Hourglass3D(nn.Module):
-    """3D conv encoder-decoder over [N, D, H, W, C]."""
+    """3D conv encoder-decoder over [N, D, H, W, C].
+
+    All stride-1 and stride-2 convs run as batched 2D convs on the
+    flattened [N*D, H, W, C] layout (see conv3d_batched2d); the volume only
+    takes 5-D form for the trilinear upsamples.  Parameter tree is identical
+    to the native nn.Conv formulation.
+    """
 
     features: int
     train: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         f = self.features
-
-        def c3(feats, stride=1, name=None):
-            return nn.Conv(
-                feats,
-                (3, 3, 3),
-                strides=(stride,) * 3,
-                padding=((1, 1),) * 3,
-                use_bias=False,
-                kernel_init=nn.initializers.he_normal(),
-                name=name,
-            )
+        n, d, h, w, _ = x.shape
 
         def bn(name):
-            return BatchNorm(not self.train, name=name)
+            return BatchNorm(not self.train, dtype=self.dtype, name=name)
 
-        x0 = nn.relu(bn("bn0")(c3(f, name="conv0")(x)))
-        d1 = nn.relu(bn("bn1")(c3(2 * f, 2, name="down1")(x0)))
-        d1 = nn.relu(bn("bn1b")(c3(2 * f, name="conv1")(d1)))
-        d2 = nn.relu(bn("bn2")(c3(2 * f, 2, name="down2")(d1)))
-        d2 = nn.relu(bn("bn2b")(c3(2 * f, name="conv2")(d2)))
-        u1 = resize_trilinear(d2, d1.shape[1:4])
-        u1 = nn.relu(bn("bnu1")(c3(2 * f, name="up1")(u1)) + d1)
-        u0 = resize_trilinear(u1, x0.shape[1:4])
-        u0 = nn.relu(bn("bnu0")(c3(f, name="up0")(u0)) + x0)
-        return u0
+        def flat(v):
+            return v.reshape(n * v.shape[1], *v.shape[2:])
+
+        def unflat(vf, dd):
+            return vf.reshape(n, dd, *vf.shape[1:])
+
+        half = lambda v: (v - 1) // 2 + 1  # lax stride-2 pad-1 output size
+        d1s, d2s = (d, h, w), tuple(map(half, (d, h, w)))
+        d4s = tuple(map(half, d2s))
+
+        xf = flat(x)
+        x0 = nn.relu(bn("bn0")(Conv3d(f, d, dtype=self.dtype, name="conv0")(xf)))
+        d1 = nn.relu(bn("bn1")(Conv3d(2 * f, d, 2, dtype=self.dtype, name="down1")(x0)))
+        d1 = nn.relu(bn("bn1b")(Conv3d(2 * f, d2s[0], dtype=self.dtype, name="conv1")(d1)))
+        d2 = nn.relu(bn("bn2")(Conv3d(2 * f, d2s[0], 2, dtype=self.dtype, name="down2")(d1)))
+        d2 = nn.relu(bn("bn2b")(Conv3d(2 * f, d4s[0], dtype=self.dtype, name="conv2")(d2)))
+        u1 = flat(resize_trilinear(unflat(d2, d4s[0]), d2s))
+        u1 = nn.relu(bn("bnu1")(Conv3d(2 * f, d2s[0], dtype=self.dtype, name="up1")(u1)) + d1)
+        u0 = flat(resize_trilinear(unflat(u1, d2s[0]), d1s))
+        u0 = nn.relu(bn("bnu0")(Conv3d(f, d, dtype=self.dtype, name="up0")(u0)) + x0)
+        return unflat(u0, d)
 
 
 class PSMNetCSPN(nn.Module):
@@ -125,6 +237,10 @@ class PSMNetCSPN(nn.Module):
     cspn_steps: int = 24
     use_cspn: bool = True
     train: bool = False
+    # bf16 mixed precision: conv/BN compute and activations (incl. the cost
+    # volume, the memory-heavy tensor) in bf16, params f32, CSPN refinement
+    # and disparity regression in f32 -- same convention as the 2D model
+    dtype: object = None
     # a jax.sharding.Mesh with 'data'/'spatial' axes: the 3D CSPN refinement
     # runs with the cost volume's D axis sharded over 'spatial' and K-step
     # halo exchange over ICI (parallel/halo.py, BASELINE config 5)
@@ -135,23 +251,39 @@ class PSMNetCSPN(nn.Module):
     def __call__(self, left, right):
         n, h, w, _ = left.shape
         num_disp4 = self.max_disp // 4
-        extractor = StereoFeatureExtractor(self.features, self.train, name="feature")
+        if self.dtype is not None:
+            left = left.astype(self.dtype)
+            right = right.astype(self.dtype)
+        extractor = StereoFeatureExtractor(
+            self.features, self.train, self.dtype, name="feature"
+        )
         fl = extractor(left)
         fr = extractor(right)
 
         cost = build_cost_volume(fl, fr, num_disp4)  # [N, D/4, H/4, W/4, 2C]
-        cost = Hourglass3D(self.features, self.train, name="hourglass")(cost)
-
-        logits = nn.Conv(
-            1, (3, 3, 3), padding=((1, 1),) * 3, use_bias=False, name="cost_head"
+        cost = Hourglass3D(
+            self.features, self.train, self.dtype, name="hourglass"
         )(cost)
 
+        # cost head (1 ch) and 26-neighbor guidance head run as ONE fused
+        # 27-channel batched-2D conv: separately, XLA pads each tiny output
+        # channel count to full lanes (measured 4.4 + 7.7 ms at the PSMNet
+        # protocol shape); the parameters stay two distinct kernels at their
+        # original tree paths so state dicts remain interchangeable.
+        cin = cost.shape[-1]
+        wk = _Kernel3d((3, 3, 3, cin, 1), name="cost_head")()
         if self.use_cspn:
-            # 26-neighbor guidance from the regularized volume features
-            guide = nn.Conv(
-                26, (3, 3, 3), padding=((1, 1),) * 3, use_bias=False,
-                name="guidance3d_head",
-            )(cost)
+            wg = _Kernel3d((3, 3, 3, cin, 26), name="guidance3d_head")()
+            wk = jnp.concatenate([wk, wg], axis=-1)
+        costf = cost.reshape(n * num_disp4, *cost.shape[2:])
+        if self.dtype is not None:
+            wk = wk.astype(self.dtype)
+        heads = conv3d_batched2d(costf, wk, num_disp4)
+        heads = heads.reshape(n, num_disp4, *cost.shape[2:4], heads.shape[-1])
+        logits = heads[..., :1].astype(jnp.float32)
+
+        if self.use_cspn:
+            guide = heads[..., 1:].astype(jnp.float32)
             if self.spatial_mesh is not None:
                 from cspn_tpu.parallel.halo import cspn_nd_spatial
 

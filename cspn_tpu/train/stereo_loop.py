@@ -35,6 +35,7 @@ class StereoConfig:
     features: int = 32
     cspn_steps: int = 24
     use_cspn: bool = True
+    dtype: str = "float32"  # 'float32' | 'bfloat16' (mixed-precision convs)
     lr: float = 1e-3
     num_epochs: int = 10
     batch_size: int = 4
@@ -47,6 +48,7 @@ def build_stereo_model(cfg: StereoConfig, train: bool) -> PSMNetCSPN:
         features=cfg.features,
         cspn_steps=cfg.cspn_steps,
         use_cspn=cfg.use_cspn,
+        dtype=jnp.bfloat16 if cfg.dtype in ("bfloat16", "bf16") else None,
         train=train,
     )
 

@@ -26,14 +26,16 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench(use_cspn: bool, batch=4, h=256, w=512, max_disp=192, steps=24):
+def bench(use_cspn: bool, batch=4, h=256, w=512, max_disp=192, steps=24,
+          dtype="float32"):
     import jax
     import jax.numpy as jnp
 
     from cspn_tpu.models.stereo import PSMNetCSPN
 
     model = PSMNetCSPN(
-        max_disp=max_disp, features=32, cspn_steps=steps, use_cspn=use_cspn
+        max_disp=max_disp, features=32, cspn_steps=steps, use_cspn=use_cspn,
+        dtype=jnp.bfloat16 if dtype in ("bfloat16", "bf16") else None,
     )
     rng = np.random.default_rng()
     left = jnp.asarray(rng.standard_normal((batch, h, w, 3)), jnp.float32)
@@ -74,6 +76,7 @@ def bench(use_cspn: bool, batch=4, h=256, w=512, max_disp=192, steps=24):
     return {
         "model": "PSMNetCSPN" if use_cspn else "PSMNet (no CSPN)",
         "shape": f"{batch}x{h}x{w}, D={max_disp}",
+        "dtype": dtype,
         "cspn_steps": steps if use_cspn else 0,
         "ms_per_batch": round(t * 1e3, 2),
         "frames_per_s": round(batch / t, 1),
@@ -81,12 +84,20 @@ def bench(use_cspn: bool, batch=4, h=256, w=512, max_disp=192, steps=24):
 
 
 def main():
+    import argparse
+
     import jax
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dtype", default=None, choices=["float32", "bfloat16"],
+                    help="bench one dtype only (default: both)")
+    args = ap.parse_args()
     if jax.devices()[0].platform != "tpu":
         log("no TPU visible; numbers are only meaningful on TPU")
-    for use_cspn in (True, False):
-        print(json.dumps(bench(use_cspn)), flush=True)
+    dtypes = [args.dtype] if args.dtype else ["float32", "bfloat16"]
+    for dtype in dtypes:
+        for use_cspn in (True, False):
+            print(json.dumps(bench(use_cspn, dtype=dtype)), flush=True)
 
 
 if __name__ == "__main__":

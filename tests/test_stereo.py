@@ -57,6 +57,51 @@ def test_stereo_model_forward(rng, use_cspn):
     assert (d >= 0).all() and (d <= 15.0 + 1e-4).all()  # convex comb of 0..D-1
 
 
+@pytest.mark.parametrize("stride,d", [(1, 6), (2, 6), (2, 5), (1, 1), (2, 1)])
+def test_conv3d_batched2d_matches_native(rng, stride, d):
+    """The flattened batched-2D formulation (kd taps folded into output
+    channels + masked D-shift sum) equals lax's native 3D conv."""
+    from cspn_tpu.models.stereo import conv3d_batched2d
+
+    n, h, w, ci, co = 2, 5, 8, 7, 3
+    x = jnp.asarray(rng.standard_normal((n, d, h, w, ci), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((3, 3, 3, ci, co), dtype=np.float32))
+    ref = jax.lax.conv_general_dilated(
+        x, k, (stride,) * 3, ((1, 1),) * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    got = conv3d_batched2d(x.reshape(n * d, h, w, ci), k, d, stride)
+    got = got.reshape(n, (d - 1) // stride + 1, (h - 1) // stride + 1, -1, co)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_stereo_model_bf16_mixed_precision(rng):
+    """bf16 stereo variant: params stay f32 and interchangeable with the f32
+    model; output is f32, finite, and tracks the f32 forward closely."""
+    kw = dict(max_disp=16, features=8, cspn_steps=2, use_cspn=True, train=False)
+    m32 = PSMNetCSPN(**kw)
+    m16 = PSMNetCSPN(**kw, dtype=jnp.bfloat16)
+    left = jnp.asarray(rng.standard_normal((1, 32, 48, 3), dtype=np.float32))
+    right = jnp.asarray(rng.standard_normal((1, 32, 48, 3), dtype=np.float32))
+    v = m32.init(jax.random.PRNGKey(0), left, right)
+    v16 = m16.init(jax.random.PRNGKey(0), left, right)
+    # identical param tree (paths, shapes, f32 storage) => checkpoints swap
+    flat = jax.tree_util.tree_leaves_with_path(v["params"])
+    flat16 = dict(jax.tree_util.tree_leaves_with_path(v16["params"]))
+    assert set(flat16) == {p for p, _ in flat}
+    for p, leaf in flat:
+        assert flat16[p].shape == leaf.shape and flat16[p].dtype == jnp.float32
+    d32 = m32.apply(v, left, right)
+    d16 = m16.apply(v, left, right)  # same variables through the bf16 path
+    assert d16.dtype == jnp.float32
+    assert np.isfinite(np.asarray(d16)).all()
+    # disparity in [0, 15]; bf16 convs move the regression only slightly
+    assert float(jnp.max(jnp.abs(d16 - d32))) < 1.5
+
+
 def test_stereo_loss_and_metrics(rng):
     gt = jnp.asarray(np.abs(rng.standard_normal((2, 8, 8))).astype(np.float32) * 10)
     pred = gt + 1.0
