@@ -351,7 +351,9 @@ def main(argv=None):
     p_sc.add_argument("--width", type=int, default=304)
     p_sc.add_argument("--batch-per-device", type=int, default=4)
     p_sc.add_argument("--cspn-step", type=int, default=24)
-    p_sc.add_argument("--mode", default="train", choices=["train", "eval"])
+    p_sc.add_argument("--mode", default="train",
+                      choices=["train", "eval", "stereo"],
+                      help="stereo = DP weak scaling of the stereo trainer")
     p_sc.add_argument("--mesh-spatial-bench", type=int, default=1,
                       help="spatial axis size (halo-exchange CSPN) per mesh")
     p_sc.add_argument("--force-cpu-devices", type=int, default=0,

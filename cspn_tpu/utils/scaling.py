@@ -71,6 +71,61 @@ def run_scaling_bench(
         if n * spatial > n_dev:
             break
         mesh = make_mesh(data=n, spatial=spatial, devices=jax.devices()[: n * spatial])
+        if mode == "stereo":
+            # DP weak scaling of the stereo trainer (BASELINE config 5);
+            # small default geometry so the virtual CPU mesh stays tractable
+            from cspn_tpu.train.state import TrainState, make_optimizer
+            from cspn_tpu.train.stereo_loop import (
+                StereoConfig,
+                build_stereo_model,
+                make_stereo_train_step,
+            )
+
+            cfg = StereoConfig(max_disp=4 * max(h // 16, 1), features=8,
+                               cspn_steps=min(cspn_steps, 4))
+            smodel = build_stereo_model(cfg, train=True)
+            batch = batch_per_device * n
+            left = jnp.asarray(rng.standard_normal((batch, h, w, 3)), jnp.float32)
+            right = jnp.asarray(rng.standard_normal((batch, h, w, 3)), jnp.float32)
+            disp = jnp.asarray(
+                rng.uniform(0, cfg.max_disp - 1, (batch, h, w)), jnp.float32
+            )
+            sh = NamedSharding(mesh, P("data"))
+            left, right, disp = (jax.device_put(v, sh) for v in (left, right, disp))
+            variables = jax.jit(smodel.init)(
+                jax.random.PRNGKey(0), left[:1], right[:1]
+            )
+            state = replicate(
+                TrainState.create(
+                    apply_fn=smodel.apply,
+                    params=variables["params"],
+                    batch_stats=variables.get("batch_stats", {}),
+                    tx=make_optimizer(cfg.lr, momentum=0.9, weight_decay=1e-4,
+                                      nesterov=False),
+                ),
+                mesh,
+            )
+            sstep = make_stereo_train_step(smodel, float(cfg.max_disp))
+            loss = None
+            for _ in range(warmup):
+                state, loss, _ = sstep(state, left, right, disp)
+            jax.block_until_ready(loss)
+            t0 = time.time()
+            for _ in range(iters):
+                state, loss, _ = sstep(state, left, right, disp)
+            jax.block_until_ready(loss)
+            dt = (time.time() - t0) / iters
+            records.append(
+                {
+                    "devices": n,
+                    "spatial": spatial,
+                    "batch": batch,
+                    "model": "PSMNetCSPN",
+                    "ms_per_step": round(dt * 1e3, 2),
+                    "frames_per_s": round(batch / dt, 1),
+                }
+            )
+            continue
         model = CSPNUNet(
             block=block,
             layers=layers,

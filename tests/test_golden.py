@@ -28,6 +28,28 @@ def test_model_output_matches_golden():
     np.testing.assert_allclose(out[0, 14:18, 22:26], g["center"], rtol=1e-3, atol=1e-4)
 
 
+def test_stereo_model_output_matches_golden():
+    """Pins the stereo stack end-to-end (feature extractor, cost volume,
+    batched-2D 3D convs, fused heads, 3D CSPN, trilinear regression)."""
+    from cspn_tpu.data.datasets import SyntheticStereoDataset
+    from cspn_tpu.models.stereo import PSMNetCSPN
+
+    ds = SyntheticStereoDataset(length=1, hw=(32, 48), max_disp=16, seed=7)
+    s = ds[0]
+    left = jnp.asarray(s["left"][None])
+    right = jnp.asarray(s["right"][None])
+    model = PSMNetCSPN(max_disp=16, features=8, cspn_steps=4, use_cspn=True,
+                       train=False)
+    v = model.init(jax.random.PRNGKey(0), left, right)
+    out = np.asarray(model.apply(v, left, right))
+    g = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                             "psmnet_cspn_32x48.npz"))
+    np.testing.assert_allclose(out.mean(), g["mean"], rtol=1e-4)
+    np.testing.assert_allclose(out.std(), g["std"], rtol=1e-3)
+    np.testing.assert_allclose(out[0, :6, :6], g["corner"], rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(out[0, 14:18, 22:26], g["center"], rtol=1e-3, atol=1e-4)
+
+
 def test_subpixel_and_plain_match_golden():
     """Both decoder paths must reproduce the same golden output."""
     ds = SyntheticDepthDataset(length=1, hw=(32, 48), n_sample=64, seed=5)
