@@ -56,7 +56,7 @@ def _timed_repeat(fn, variables, x, rng, repeats, trials=5):
     return float(np.median(times)) / repeats
 
 
-def bench_model(batch=64, repeats=8, steps=24):
+def bench_model(batch=128, repeats=8, steps=24):
     """Per-backend frames/s via on-device repetition (robust to the device
     tunnel's per-call RPC overhead and execution caching).
 
@@ -111,7 +111,7 @@ def main():
             {
                 "metric": "nyu_eval_frames_per_s",
                 "value": round(fps, 2),
-                "unit": "frames/s/chip (ResNet50-UNet + 24-step CSPN, 228x304, b64)",
+                "unit": "frames/s/chip (ResNet50-UNet + 24-step CSPN, 228x304, b128)",
                 "vs_baseline": round(ratio, 3),
             }
         )
