@@ -40,6 +40,7 @@ def run_scaling_bench(
     warmup: int = 2,
     iters: int = 8,
     spatial: int = 1,
+    max_devices: int | None = None,
 ) -> list[dict]:
     """Returns one record per mesh size: {devices, ms_per_step, frames_per_s,
     efficiency} (efficiency = fps / (devices * fps_1))."""
@@ -53,6 +54,8 @@ def run_scaling_bench(
     from cspn_tpu.train.state import create_train_state
 
     n_dev = len(jax.devices())
+    if max_devices is not None:
+        n_dev = min(n_dev, max_devices)
     if jax.devices()[0].platform != "tpu":
         import sys
 

@@ -278,3 +278,27 @@ def test_shard_batch_and_replicate(mesh24):
     assert sharded["x"].sharding.spec == jax.sharding.PartitionSpec("data")
     rep = replicate({"w": np.ones((3,))}, mesh24)
     assert rep["w"].sharding.spec == jax.sharding.PartitionSpec()
+
+
+@pytest.mark.parametrize("mode", ["eval", "stereo"])
+def test_run_scaling_bench_mechanics(mode):
+    """Weak-scaling bench runs over growing virtual meshes and reports
+    per-size records with efficiency relative to 1 device."""
+    from cspn_tpu.utils.scaling import run_scaling_bench
+
+    records = run_scaling_bench(
+        arch="resnet18",
+        hw=(32, 48),
+        batch_per_device=1,
+        cspn_steps=2,
+        mode=mode,
+        warmup=1,
+        iters=2,
+        max_devices=2,
+    )
+    assert [r["devices"] for r in records] == [1, 2]
+    for r in records:
+        assert r["frames_per_s"] > 0
+        assert 0 < r["efficiency"] <= 1.5  # virtual mesh: mechanics only
+    if mode == "stereo":
+        assert records[0]["model"] == "PSMNetCSPN"
