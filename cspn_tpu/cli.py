@@ -36,6 +36,14 @@ def _add_common_overrides(p: argparse.ArgumentParser):
                    choices=["auto", "pallas", "reference"])
     p.add_argument("--dtype", default=None, choices=["float32", "bfloat16"])
     p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--momentum", type=float, default=None)
+    p.add_argument("--weight-decay", dest="weight_decay", type=float, default=None)
+    p.add_argument("--dampening", type=float, default=None,
+                   help="SGD dampening (torch semantics; requires --no-nesterov)")
+    p.add_argument("--nesterov", "-n", dest="nesterov", action="store_true",
+                   default=None, help="enable Nesterov momentum (preset default)")
+    p.add_argument("--no-nesterov", dest="nesterov", action="store_false",
+                   help="plain momentum SGD")
     p.add_argument("--num-epoch", type=int, default=None)
     p.add_argument("--loss", default=None, choices=["l1", "berhu"])
     p.add_argument("--save-dir", default=None)
@@ -85,6 +93,10 @@ def _build_config(args):
         ("cspn_backend", model, "cspn_backend"),
         ("dtype", model, "dtype"),
         ("lr", optim, "lr"),
+        ("momentum", optim, "momentum"),
+        ("weight_decay", optim, "weight_decay"),
+        ("dampening", optim, "dampening"),
+        ("nesterov", optim, "nesterov"),
         ("num_epoch", optim, "num_epochs"),
         ("loss", optim, "loss"),
         ("grad_reduce_dtype", optim, "grad_reduce_dtype"),

@@ -54,6 +54,7 @@ class OptimConfig:
     momentum: float = 0.9
     weight_decay: float = 1e-4
     nesterov: bool = True
+    dampening: float = 0.0  # torch SGD dampening (reference train.py:41)
     num_epochs: int = 40
     loss: str = "l1"  # 'l1' | 'berhu'
     # ReduceLROnPlateau on val MAE (reference train.py:283)

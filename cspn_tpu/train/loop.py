@@ -224,6 +224,7 @@ class Trainer:
             momentum=cfg.optim.momentum,
             weight_decay=cfg.optim.weight_decay,
             nesterov=cfg.optim.nesterov,
+            dampening=cfg.optim.dampening,
             momentum_dtype=cfg.optim.momentum_dtype,
         )
         if pretrained_params is not None:

@@ -24,13 +24,58 @@ class TrainState(train_state.TrainState):
     batch_stats: core.FrozenDict[str, Any] = struct.field(default=None)
 
 
+def _dampened_trace(momentum: float, dampening: float, accumulator_dtype=None):
+    """torch-SGD momentum with dampening (torch.optim.SGD semantics,
+    reference train.py:170-175 exposes --dampening): buf = g on the FIRST
+    step, buf = mu*buf + (1-d)*g afterwards.  Only used when d != 0 (torch
+    forbids nesterov with dampening, and optax.sgd covers d == 0)."""
+
+    def init(params):
+        zeros = jax.tree.map(
+            lambda p: jax.numpy.zeros_like(
+                p, dtype=accumulator_dtype or p.dtype
+            ),
+            params,
+        )
+        return (zeros, jax.numpy.zeros((), jax.numpy.int32))
+
+    def update(grads, state, params=None):
+        del params
+        buf, count = state
+        first = count == 0
+
+        def upd(b, g):
+            damped = momentum * b.astype(g.dtype) + (1.0 - dampening) * g
+            new = jax.numpy.where(first, g, damped)
+            return new
+
+        new_buf = jax.tree.map(upd, buf, grads)
+        out = new_buf
+        new_buf = jax.tree.map(
+            lambda b: b.astype(accumulator_dtype) if accumulator_dtype else b,
+            new_buf,
+        )
+        return out, (new_buf, count + 1)
+
+    return optax.GradientTransformation(init, update)
+
+
 def _sgd(
     learning_rate: float,
     momentum: float,
     weight_decay: float,
     nesterov: bool,
+    dampening: float = 0.0,
     accumulator_dtype=None,
 ):
+    if dampening:
+        if nesterov:
+            raise ValueError("nesterov requires dampening == 0 (torch semantics)")
+        return optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            _dampened_trace(momentum, dampening, accumulator_dtype),
+            optax.scale(-learning_rate),
+        )
     return optax.chain(
         optax.add_decayed_weights(weight_decay),
         optax.sgd(
@@ -47,6 +92,7 @@ def make_optimizer(
     momentum: float = 0.9,
     weight_decay: float = 1e-4,
     nesterov: bool = True,
+    dampening: float = 0.0,
     momentum_dtype=None,
 ):
     """SGD+Nesterov+weight-decay (reference train.py:170-175) with the lr
@@ -60,11 +106,15 @@ def make_optimizer(
     """
     if isinstance(momentum_dtype, str):
         momentum_dtype = jax.numpy.dtype(momentum_dtype)
-    return optax.inject_hyperparams(_sgd, static_args=("accumulator_dtype",))(
+    # dampening is structural (selects the transformation), not a tunable
+    return optax.inject_hyperparams(
+        _sgd, static_args=("accumulator_dtype", "dampening")
+    )(
         learning_rate=learning_rate,
         momentum=momentum,
         weight_decay=weight_decay,
         nesterov=nesterov,
+        dampening=dampening,
         accumulator_dtype=momentum_dtype,
     )
 

@@ -203,3 +203,37 @@ def test_bf16_serving_cast_and_apply():
     assert float(jnp.max(jnp.abs(y16 - y32))) < 0.1 * float(
         jnp.max(jnp.abs(y32)) + 1e-6
     )
+
+
+def test_dampened_sgd_matches_torch():
+    """--dampening follows torch.optim.SGD exactly (incl. the first-step
+    buf = g special case, reference train.py:41 exposes the flag)."""
+    import torch
+
+    from cspn_tpu.train.state import make_optimizer
+
+    rng = np.random.default_rng(0)
+    p0 = rng.standard_normal((5, 3)).astype(np.float32)
+    grads = [rng.standard_normal((5, 3)).astype(np.float32) for _ in range(4)]
+
+    tp = torch.nn.Parameter(torch.tensor(p0))
+    topt = torch.optim.SGD([tp], lr=0.1, momentum=0.9, weight_decay=1e-4,
+                           dampening=0.3, nesterov=False)
+    for g in grads:
+        topt.zero_grad()
+        tp.grad = torch.tensor(g)
+        topt.step()
+
+    opt = make_optimizer(0.1, momentum=0.9, weight_decay=1e-4,
+                         nesterov=False, dampening=0.3)
+    params = {"w": jnp.asarray(p0)}
+    state = opt.init(params)
+    for g in grads:
+        upd, state = opt.update({"w": jnp.asarray(g)}, state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, upd)
+    np.testing.assert_allclose(
+        np.asarray(params["w"]), tp.detach().numpy(), rtol=1e-5, atol=1e-6
+    )
+
+    with pytest.raises(ValueError):
+        make_optimizer(0.1, nesterov=True, dampening=0.3).init(params)
