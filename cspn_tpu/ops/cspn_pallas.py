@@ -224,6 +224,178 @@ def _cspn2d_pallas_impl(
     )(*args)
 
 
+# --- fused halo-segment kernel (spatially-sharded path) --------------------
+#
+# parallel/halo.py shards image rows over the mesh and alternates k-step
+# local propagation with 1-row-per-step halo exchanges over ICI.  The local
+# k-step block previously ran as the composed XLA stencil (8 shifted reads +
+# FMA per step, one HBM round-trip per step); this kernel runs the whole
+# k-step segment in VMEM: HBM traffic per segment = one read of
+# (8 gates + base [+keep] + x) + one write of x, i.e. ~11 planes per k steps
+# instead of ~10 per step.  Gates/center/mask are normalized once in XLA on
+# the halo-extended block (unchanged semantics, including the cross-shard
+# denominators), so the kernel takes them pre-normalized.
+
+
+def _halo_seg_kernel(
+    g_ref,  # (1, 8, He, W): normalized gates, OUTPUT coords (gather form)
+    base_ref,  # (1, He, W): keep*center*x0 + mask*x0 (or center*x0)
+    keep_ref,  # (1, He, W) or None: 1 - anchor mask
+    x_ref,  # (1, He, W): incoming state (halo rows refreshed by caller)
+    out_ref,  # (1, He, W)
+    g2_ref,  # (8, He, W) scratch: lane-unshifted gates
+    xpad_ref,  # (He+2, W) scratch
+    *,
+    k_steps: int,
+):
+    h, w = out_ref.shape[1], out_ref.shape[2]
+    for d, (_, dx) in enumerate(_OFFS):
+        g2_ref[d] = _shift_w(g_ref[0, d], -dx)  # G2_d[i,j] = gate_d[i, j-dx]
+    base = base_ref[0]
+    keep = keep_ref[0] if keep_ref is not None else None
+    xpad_ref[:] = jnp.zeros_like(xpad_ref)
+    xpad_ref[1 : h + 1, :] = x_ref[0]
+
+    def body(_, carry):
+        rows = {dy: xpad_ref[1 + dy : 1 + dy + h, :] for dy in (-1, 0, 1)}
+        u = {
+            dx: sum(g2_ref[d] * rows[_OFFS[d][0]] for d in ds)
+            for dx, ds in _BY_DX.items()
+        }
+        y = u[0] + _shift_w(u[1], 1) + _shift_w(u[-1], -1)
+        y = keep * y + base if keep is not None else y + base
+        xpad_ref[1 : h + 1, :] = y
+        return carry
+
+    lax.fori_loop(0, k_steps, body, 0, unroll=False)
+    out_ref[0] = xpad_ref[1 : h + 1, :]
+
+
+def _halo_seg_kernel_nokeep(g_ref, base_ref, x_ref, out_ref, g2_ref,
+                            xpad_ref, **kw):
+    _halo_seg_kernel(g_ref, base_ref, None, x_ref, out_ref, g2_ref,
+                     xpad_ref, **kw)
+
+
+def _halo_segment_ref(gates_cf, base, keep, x, k_steps):
+    """Composed-XLA equivalent of the segment (backward rematerializes
+    through this): y = sum_d gate_d * x[.+dy_d, .+dx_d]; y = keep*y + base."""
+    from cspn_tpu.ops.neighbors import OFFSETS_2D_REFERENCE, shift
+
+    def step(x):
+        y = sum(
+            gates_cf[:, d] * shift(x, off, axes=(-2, -1))
+            for d, off in enumerate(OFFSETS_2D_REFERENCE)
+        )
+        return keep * y + base if keep is not None else y + base
+
+    for _ in range(k_steps):
+        x = step(x)
+    return x
+
+
+def _halo_segment_impl(gates_cf, base, keep, x, k_steps, interpret):
+    n, _, h, w = gates_cf.shape
+    use_keep = keep is not None
+    kernel = functools.partial(
+        _halo_seg_kernel if use_keep else _halo_seg_kernel_nokeep,
+        k_steps=k_steps,
+    )
+    img = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, 8, h, w), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        img,
+    ]
+    args = [gates_cf, base]
+    if use_keep:
+        in_specs.append(img)
+        args.append(keep)
+    in_specs.append(img)
+    args.append(x)
+    # inside shard_map the output varies over the same mesh axes as x
+    vma = getattr(jax.typeof(x), "vma", None)
+    out_sds = (
+        jax.ShapeDtypeStruct((n, h, w), jnp.float32, vma=vma)
+        if vma
+        else jax.ShapeDtypeStruct((n, h, w), jnp.float32)
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n,),
+        out_shape=out_sds,
+        in_specs=in_specs,
+        out_specs=img,
+        scratch_shapes=[
+            pltpu.VMEM((8, h, w), jnp.float32),
+            pltpu.VMEM((h + 2, w), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=n * k_steps * 8 * 2 * h * w,
+            bytes_accessed=n * (8 + 3) * h * w * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES),
+        interpret=interpret,
+    )(*args)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _halo_segment(gates_cf, base, keep, x, k_steps, interpret):
+    return _halo_segment_impl(gates_cf, base, keep, x, k_steps, interpret)
+
+
+def _halo_segment_fwd(gates_cf, base, keep, x, k_steps, interpret):
+    out = _halo_segment_impl(gates_cf, base, keep, x, k_steps, interpret)
+    return out, (gates_cf, base, keep, x)
+
+
+def _halo_segment_bwd(k_steps, interpret, residuals, ct):
+    gates_cf, base, keep, x = residuals
+    if keep is None:
+        _, vjp = jax.vjp(
+            lambda g, b, xx: _halo_segment_ref(g, b, None, xx, k_steps),
+            gates_cf, base, x,
+        )
+        dg, db, dx = vjp(ct)
+        return dg, db, None, dx
+    _, vjp = jax.vjp(
+        lambda g, b, k, xx: _halo_segment_ref(g, b, k, xx, k_steps),
+        gates_cf, base, keep, x,
+    )
+    return vjp(ct)
+
+
+_halo_segment.defvjp(_halo_segment_fwd, _halo_segment_bwd)
+
+
+def cspn2d_halo_segment(
+    gates_cf: jnp.ndarray,
+    base: jnp.ndarray,
+    keep: jnp.ndarray | None,
+    x: jnp.ndarray,
+    k_steps: int,
+    *,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """k propagation steps on a halo-extended local block, fused in VMEM.
+
+    gates_cf: [n, 8, He, W] normalized gather-form gates (output coords);
+    base: [n, He, W] = keep*center*x0 + mask*x0; keep: [n, He, W] or None;
+    x: [n, He, W] running state.  Backward rematerializes through the
+    composed form (exact adjoint).  Used by parallel/halo.py.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    return _halo_segment(
+        gates_cf.astype(jnp.float32),
+        base.astype(jnp.float32),
+        None if keep is None else keep.astype(jnp.float32),
+        x.astype(jnp.float32),
+        k_steps,
+        interpret,
+    )
+
+
 # --- fused backward kernel -------------------------------------------------
 #
 # Reverse-mode through the linear recurrence x_{t+1} = keep*S(x_t) + base:

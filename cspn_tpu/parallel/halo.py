@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from cspn_tpu.ops.cspn_ref import normalize_affinity_2d
 from cspn_tpu.ops.neighbors import OFFSETS_2D_REFERENCE, neighbor_offsets, shift
@@ -48,9 +48,16 @@ def _exchange_halos(x: jnp.ndarray, k: int, axis_name: str) -> jnp.ndarray:
 
 
 def _local_cspn(
-    guidance, blur, sparse, *, steps: int, norm_type: str, halo: int, axis_name: str
+    guidance, blur, sparse, *, steps: int, norm_type: str, halo: int,
+    axis_name: str, fused: bool = True,
 ):
-    """Per-device block compute. guidance [n, h, W, 8]; blur/sparse [n, h, W]."""
+    """Per-device block compute. guidance [n, h, W, 8]; blur/sparse [n, h, W].
+
+    The k-step local segments between halo exchanges run as a fused Pallas
+    kernel (ops.cspn_pallas.cspn2d_halo_segment: one HBM round-trip per
+    segment instead of per step; backward rematerializes through the
+    composed form below).  fused=False keeps the composed XLA stencil.
+    """
     # a halo (and the +1 gate halo) can only reach the immediate mesh
     # neighbor, so it is capped by the local block height
     k = max(1, min(halo, guidance.shape[1] - 1))
@@ -61,15 +68,36 @@ def _local_cspn(
     x0 = _exchange_halos(blur, k, axis_name)
     if sparse is not None:
         mask = jnp.sign(_exchange_halos(sparse, k, axis_name))
+        keep = 1.0 - mask
+        base = keep * center * x0 + mask * x0
+    else:
+        keep = None
+        base = center * x0
 
-    def step_fn(x):
-        xs = jnp.stack(
-            [shift(x, off, axes=(-2, -1)) for off in OFFSETS_2D_REFERENCE], axis=-1
-        )
-        y = jnp.sum(gates * xs, axis=-1) + center * x0
-        if sparse is not None:
-            y = (1.0 - mask) * y + mask * x0
-        return y
+    if fused:
+        from cspn_tpu.ops.cspn_pallas import cspn2d_halo_segment
+
+        gates_cf = jnp.moveaxis(gates, -1, 1)  # [n, 8, he, W], once
+
+        def run_segment(x, k_this):
+            return cspn2d_halo_segment(gates_cf, base, keep, x, k_this)
+
+    else:
+
+        def step_fn(x):
+            xs = jnp.stack(
+                [shift(x, off, axes=(-2, -1)) for off in OFFSETS_2D_REFERENCE],
+                axis=-1,
+            )
+            y = jnp.sum(gates * xs, axis=-1)
+            if keep is not None:
+                y = keep * y
+            return y + base
+
+        def run_segment(x, k_this):
+            for _ in range(k_this):
+                x = step_fn(x)
+            return x
 
     x = x0
     done = 0
@@ -77,8 +105,7 @@ def _local_cspn(
         if done > 0:  # refresh halo rows from neighbors' interiors
             x = _exchange_halos(x[:, k:-k] if k else x, k, axis_name)
         k_this = min(k, steps - done) if k else steps
-        for _ in range(k_this if k else steps):
-            x = step_fn(x)
+        x = run_segment(x, k_this if k else steps)
         done += k_this if k else steps
     return x[:, k:-k] if k else x
 
@@ -94,11 +121,13 @@ def cspn2d_spatial(
     halo: int = 4,
     data_axis: str = "data",
     spatial_axis: str = "spatial",
+    fused: bool = True,
 ):
     """2D CSPN with batch sharded over `data_axis` and image rows sharded
     over `spatial_axis`.  Semantics identical to ops.cspn2d.
 
     Requires N % mesh['data'] == 0 and H % mesh['spatial'] == 0.
+    fused=False keeps the composed-XLA local segments (benchmark reference).
     """
     has_sparse = sparse_depth is not None
     spec_g = P(data_axis, spatial_axis, None, None)
@@ -110,6 +139,7 @@ def cspn2d_spatial(
         norm_type=norm_type,
         halo=halo,
         axis_name=spatial_axis,
+        fused=fused,
     )
 
     if has_sparse:
@@ -121,7 +151,13 @@ def cspn2d_spatial(
         in_specs = (spec_g, spec_x)
         args = (guidance, blur_depth)
 
-    return shard_map(local, mesh=mesh, in_specs=in_specs, out_specs=spec_x)(*args)
+    # check_vma=False: pallas_call in interpret mode (CPU tests) lowers to
+    # dynamic_slice ops that mix varying and replicated values, which the
+    # vma checker rejects (JAX suggests this workaround); correctness is
+    # pinned by the sharded-vs-unsharded equivalence tests
+    return shard_map(
+        local, mesh=mesh, in_specs=in_specs, out_specs=spec_x, check_vma=False
+    )(*args)
 
 
 def _local_cspn_nd(
