@@ -175,11 +175,17 @@ def affinity_propagate3d_fused(
     k_per_segment: int = 4,
     h_tile: int = 16,
     interpret: bool | None = None,
+    gate_dtype=None,
 ) -> jnp.ndarray:
     """Run `steps` 3D propagation steps with per-pixel normalized gates.
 
     feat: [N, D, H, W] f32;  gate_weight: [N, 26, D, H, W] (normalized along
     dim 1).  Matches `steps` iterations of affinity_propagate_reference.
+
+    gate_dtype: VMEM-resident gate precision.  None = bf16 (halves gate
+    traffic/footprint, ~5e-5 error on unit-scale inputs -- the default fast
+    path); jnp.float32 for exact-to-reference runs (the spatially-sharded
+    halo segments use this so the sharded op matches the f32 oracle).
     """
     if interpret is None:
         try:
@@ -203,7 +209,7 @@ def affinity_propagate3d_fused(
         )
         out = affinity_propagate3d_fused(
             feat, gate_weight, steps=steps, k_per_segment=k_per_segment,
-            h_tile=h_tile, interpret=interpret,
+            h_tile=h_tile, interpret=interpret, gate_dtype=gate_dtype,
         )
         return out[:, :, :h0, :w0]
 
@@ -218,10 +224,12 @@ def affinity_propagate3d_fused(
     # bf16 gates measured faster than f32 (3.5 vs 3.8 ms at the demo shape:
     # half the gate VMEM traffic beats the conversion cost); error vs the
     # f32 reference ~5e-5 on unit-scale inputs
-    gates_bf16_need = 26 * d_sz * h * w * 2 + 8 * (d_sz + 2) * (h + 2) * w * 4
+    gdtype = gate_dtype or jnp.bfloat16
+    gates_need = 26 * d_sz * h * w * jnp.dtype(gdtype).itemsize + 8 * (
+        d_sz + 2
+    ) * (h + 2) * w * 4
     budget = 80 * 1024 * 1024
-    if gates_bf16_need <= budget:
-        gdtype = jnp.bfloat16
+    if gates_need <= budget:
 
         def one_whole(args):
             x, g = args
@@ -244,7 +252,7 @@ def affinity_propagate3d_fused(
         x, g = args
         gp = jnp.pad(
             g, ((0, 0), (0, 0), (halo, halo + pad_h), (0, 0))
-        ).astype(jnp.bfloat16)
+        ).astype(gdtype)
         done = 0
         while done < steps:
             k = min(k_per_segment, steps - done)

@@ -160,8 +160,61 @@ def cspn2d_spatial(
     )(*args)
 
 
+def _seg_nd_ref_cf(w_cf, x, k_steps, offsets, axes):
+    """Composed reference for one local nd segment (channel-FIRST gates
+    [n, n_gates, *spatial]): y = (1-sum w)*x + sum_d w_d * shift(x) iterated
+    k_steps (paddle per-pixel semantics); the fused segment's backward
+    rematerializes through this."""
+    center = 1.0 - jnp.sum(w_cf, axis=1)
+    for _ in range(k_steps):
+        y = center * x
+        for d, off in enumerate(offsets):
+            y = y + w_cf[:, d] * shift(x, off, axes=axes)
+        x = y
+    return x
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _halo3_segment(w_cf, x, k_steps):
+    """k_steps of 26-gate 3D propagation on one local block, fused.
+
+    w_cf: [n, 26, d_ext, H, W] per-pixel normalized gates (channel-first so
+    the relayout happens ONCE per call site, not per segment); x:
+    [n, d_ext, H, W].  Forward runs the whole-volume Pallas schedule
+    (cspn3d_pallas; gates read from HBM once per segment); backward
+    rematerializes through the composed form (exact adjoint, incl. the
+    center term's dependence on the gates).
+    """
+    from cspn_tpu.ops import cspn3d_pallas
+
+    # f32 gates: local blocks are small, and the sharded op then matches
+    # the f32 oracle exactly (the unsharded fast path's bf16-resident gates
+    # trade ~5e-5 error for half the gate traffic)
+    return cspn3d_pallas.affinity_propagate3d_fused(
+        x, w_cf, steps=k_steps, gate_dtype=jnp.float32
+    )
+
+
+def _halo3_segment_fwd(w_cf, x, k_steps):
+    return _halo3_segment(w_cf, x, k_steps), (w_cf, x)
+
+
+def _halo3_segment_bwd(k_steps, residuals, ct):
+    w_cf, x = residuals
+    offsets = neighbor_offsets(3, 3)
+    _, vjp = jax.vjp(
+        lambda w, xx: _seg_nd_ref_cf(w, xx, k_steps, offsets, (-3, -2, -1)),
+        w_cf, x,
+    )
+    return vjp(ct)
+
+
+_halo3_segment.defvjp(_halo3_segment_fwd, _halo3_segment_bwd)
+
+
 def _local_cspn_nd(
-    guide, feat, *, kernel_size: int, steps: int, halo: int, axis_name: str
+    guide, feat, *, kernel_size: int, steps: int, halo: int, axis_name: str,
+    fused: bool = True,
 ):
     """Per-device block of the paddle-semantics nd CSPN (cspn_nd_reference).
 
@@ -171,6 +224,10 @@ def _local_cspn_nd(
     gates and features are exchanged with the same width K and each device
     runs K steps per exchange.  `ppermute` zero-fill at the mesh ends
     reproduces the zero contribution of out-of-volume neighbors.
+
+    For 3D volumes (kernel 3) the k-step local segments run as the fused
+    whole-volume Pallas schedule per channel (_halo3_segment); other ranks
+    and fused=False use the composed XLA stencil.
     """
     ndim = feat.ndim - 2
     n_gates = kernel_size**ndim - 1
@@ -189,19 +246,41 @@ def _local_cspn_nd(
     center = _exchange_halos(center, k, axis_name)
     x = _exchange_halos(feat, k, axis_name)
 
-    def step_fn(x):
-        y = center * x
-        for d, off in enumerate(offsets):
-            y = y + w[..., d] * shift(x, off, axes=axes)
-        return y
+    use_fused = fused and ndim == 3 and kernel_size == 3
+
+    if use_fused:
+        # relayout each channel's gate volume to channel-first ONCE (a
+        # per-segment moveaxis measured ~2 ms/segment at the stereo shape)
+        w_cf_by_ch = [
+            jnp.moveaxis(w[..., ch, :], -1, 1) for ch in range(c)
+        ]
+
+        def run_segment(x, k_this):
+            outs = [
+                _halo3_segment(w_cf_by_ch[ch], x[..., ch], k_this)
+                for ch in range(c)
+            ]
+            return jnp.stack(outs, axis=-1)
+
+    else:
+
+        def step_fn(x):
+            y = center * x
+            for d, off in enumerate(offsets):
+                y = y + w[..., d] * shift(x, off, axes=axes)
+            return y
+
+        def run_segment(x, k_this):
+            for _ in range(k_this):
+                x = step_fn(x)
+            return x
 
     done = 0
     while done < steps:
         if done > 0:
             x = _exchange_halos(x[:, k:-k], k, axis_name)
         k_this = min(k, steps - done)
-        for _ in range(k_this):
-            x = step_fn(x)
+        x = run_segment(x, k_this)
         done += k_this
     return x[:, k:-k]
 
@@ -216,6 +295,7 @@ def cspn_nd_spatial(
     halo: int = 4,
     data_axis: str = "data",
     spatial_axis: str = "spatial",
+    fused: bool = True,
 ):
     """Paddle-semantics nd CSPN (ops.cspn_nd) with the batch sharded over
     `data_axis` and the first spatial axis (D for cost volumes) sharded over
@@ -239,7 +319,10 @@ def cspn_nd_spatial(
         steps=steps,
         halo=halo,
         axis_name=spatial_axis,
+        fused=fused,
     )
-    return shard_map(fn, mesh=mesh, in_specs=(spec_g, spec_f), out_specs=spec_f)(
-        guide, feat
-    )
+    # check_vma=False: see cspn2d_spatial (pallas-in-shard_map limitation)
+    return shard_map(
+        fn, mesh=mesh, in_specs=(spec_g, spec_f), out_specs=spec_f,
+        check_vma=False,
+    )(guide, feat)
