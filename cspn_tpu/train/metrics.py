@@ -8,8 +8,10 @@ to CPU every step, train.py:204-206).  Adds iRMSE/iMAE (inverse-depth
 metrics from the KITTI depth-completion benchmark / TPAMI paper; BASELINE
 target) which the reference's own code never computed.
 
-`LG10` is kept in the dict for log-format parity but is always 0, matching
-the reference where the key is declared and never computed (utils.py:23-25).
+`LG10` is the standard NYU log10 error, mean |log10(gt) - log10(pred)| over
+valid pixels with pred > 0.  The reference declares the key but never
+computes it (utils.py:23-25, always 0); computing it is a deliberate upgrade
+in the same spirit as iRMSE/iMAE.
 
 `ErrorAverager` reproduces avg_error's batch-size-weighted accumulation
 (utils.py:50-57), including its quirk of averaging per-batch RMSE values
@@ -68,11 +70,17 @@ def evaluate_error(gt_depth: jnp.ndarray, pred_depth: jnp.ndarray) -> dict:
     irmse = jnp.sqrt(jnp.sum(idiff**2 * mp) / np_)
     imae = jnp.sum(idiff * mp) / np_
 
+    # LG10 over the same valid & pred>0 pixels (log10 of a non-positive
+    # prediction is undefined; the NYU convention masks them out)
+    lgt = jnp.log10(jnp.where(pos, gt_depth, 1.0))
+    lpred = jnp.log10(jnp.where(pos, pred_depth, 1.0))
+    lg10 = jnp.sum(jnp.abs(lgt - lpred) * mp) / np_
+
     return {
         "MSE": mse,
         "RMSE": jnp.sqrt(mse),
         "ABS_REL": rel,
-        "LG10": jnp.zeros(()),  # parity with reference: declared, never computed
+        "LG10": lg10,
         "MAE": mae,
         "DELTA1.02": delta(1.02),
         "DELTA1.05": delta(1.05),

@@ -53,6 +53,19 @@ def test_evaluate_error_matches_reference_semantics(rng):
         assert got[k] == pytest.approx(v, rel=1e-5), k
 
 
+def test_lg10_metric(rng):
+    # LG10 = mean |log10 gt - log10 pred| over valid pixels with pred > 0
+    # (reference declares the key but never computes it, utils.py:23-25)
+    gt = np.abs(rng.standard_normal((6, 7))).astype(np.float32) + 0.5
+    pred = np.abs(rng.standard_normal((6, 7))).astype(np.float32) + 0.5
+    gt[0, :4] = 0.0  # invalid gt
+    pred[1, :4] = 0.0  # non-positive pred masked from LG10
+    pos = (gt > 1e-4) & (pred > 1e-4)
+    want = np.abs(np.log10(gt[pos]) - np.log10(pred[pos])).mean()
+    got = float(evaluate_error(jnp.asarray(gt), jnp.asarray(pred))["LG10"])
+    assert got == pytest.approx(want, rel=1e-5)
+
+
 def test_masked_l1_matches_reference(rng):
     label = np.abs(rng.standard_normal((2, 8, 8))).astype(np.float32)
     label[:, :2] = 0.0
