@@ -160,7 +160,8 @@ def cmd_eval(args):
     cfg = _build_config(args)
     from cspn_tpu.train.evaluate import run_eval
 
-    run_eval(cfg, runs=args.runs, dump_images=args.dump_images)
+    run_eval(cfg, runs=args.runs, dump_images=args.dump_images,
+             torch_checkpoint=args.import_torch_checkpoint)
 
 
 def cmd_demo(args):
@@ -309,6 +310,10 @@ def main(argv=None):
     p_eval.add_argument("--runs", type=int, default=5,
                         help="sparse-resample eval runs to average (README protocol)")
     p_eval.add_argument("--dump-images", action="store_true")
+    p_eval.add_argument("--import-torch-checkpoint", default=None,
+                        help="evaluate a reference-trained .pth directly "
+                             "(full-model state dict import; parity pinned by "
+                             "tests/test_torch_oracle.py)")
     p_eval.set_defaults(fn=cmd_eval)
 
     p_demo = sub.add_parser("demo", help="2D/3D CSPN op demo (paddle demo.py)")

@@ -91,6 +91,90 @@ def convert_resnet_state_dict(sd: dict[str, Any]) -> tuple[dict, dict]:
     return params, stats
 
 
+_BN_LEAF = {
+    "weight": "scale",
+    "bias": "bias",
+    "running_mean": "mean",
+    "running_var": "var",
+}
+
+# reference modules that the released forward() never calls (constructed at
+# torch_resnet_cspn_nyu.py:300-312) plus the frozen all-ones sum conv the
+# CSPN layer re-creates inside every forward (cspn.py:44-53)
+_SKIP_PREFIXES = ("up_proj_layer", "post_process_layer", "conv3.", "fc.")
+
+# top-level reference modules that live under 'encoder' in CSPNUNet's tree
+_ENCODER_TOP = ("conv1_1", "bn1", "conv2", "bn2")
+
+_STAGE_RE = re.compile(r"^layer(\d)$")
+
+
+def convert_cspn_state_dict(sd: dict[str, Any]) -> tuple[dict, dict]:
+    """Full reference-model state dict -> (params, batch_stats) for CSPNUNet.
+
+    Maps every weight of `torch_resnet_cspn_nyu.ResNet` (:278-319) — encoder
+    stem/stages/trailing conv2+bn2, the Gudi decoder blocks
+    `gud_up_proj_layer1..6` with their conv1/conv1_1/conv2/sc_conv1 + BNs —
+    onto the CSPNUNet parameter tree, so a checkpoint trained with the
+    reference code evaluates identically in this framework
+    (tests/test_torch_oracle.py asserts full-forward agreement).
+
+    Skipped on purpose: the never-called `up_proj_layer*`/`conv3` modules,
+    the frozen ones `post_process_layer.sum_conv`, `fc.*`, and BN
+    `num_batches_tracked` counters.
+    """
+    params: dict = {}
+    stats: dict = {}
+
+    def to_np(v):
+        return np.asarray(getattr(v, "numpy", lambda: v)()).astype(np.float32)
+
+    for key, val in sd.items():
+        key = key.removeprefix("module.")  # update_model.remove_moudle (:23-31)
+        if key.endswith("num_batches_tracked"):
+            continue
+        if any(key.startswith(p) for p in _SKIP_PREFIXES):
+            continue
+        *mods, leaf = key.split(".")
+        path: list[str] = []
+        i = 0
+        while i < len(mods):
+            m = mods[i]
+            stage = _STAGE_RE.match(m)
+            if stage and i + 1 < len(mods) and mods[i + 1].isdigit():
+                # layer{s}.{b}.* -> layer{s}_{b}/*
+                path.append(f"layer{stage.group(1)}_{mods[i + 1]}")
+                i += 2
+            elif m == "downsample":
+                # downsample.0 = conv, downsample.1 = bn (resnet _make_layer)
+                path.append("ds_conv" if mods[i + 1] == "0" else "ds_bn")
+                i += 2
+            else:
+                path.append(m)
+                i += 1
+        if path and (path[0] in _ENCODER_TOP or _STAGE_RE.match(path[0].split("_")[0])):
+            path = ["encoder"] + path
+        arr = to_np(val)
+        if leaf == "weight" and arr.ndim == 4:
+            _set(params, path + ["kernel"], _conv_kernel(arr))
+        elif leaf in _BN_LEAF:
+            tree = stats if leaf.startswith("running") else params
+            _set(tree, path + ["BatchNorm_0", _BN_LEAF[leaf]], arr)
+        # anything else (no such leaves in the reference model) is dropped
+    return params, stats
+
+
+def load_torch_cspn_checkpoint(path: str) -> tuple[dict, dict]:
+    """Load a reference-trained checkpoint (best_model.pth / epoch_NN.pth,
+    train.py:229-231,277-280) and convert the FULL model (requires torch)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    return convert_cspn_state_dict(sd)
+
+
 def load_torch_encoder_params(path: str) -> tuple[dict, dict]:
     """Load a torch .pth checkpoint (CPU) and convert (requires torch)."""
     import torch

@@ -25,13 +25,33 @@ from cspn_tpu.train.state import create_train_state
 from cspn_tpu.utils.images import save_eval_images
 
 
-def load_eval_state(cfg: RunConfig, checkpoint: str = "best_model"):
-    """Build the eval model and restore params/batch_stats from checkpoint."""
+def load_eval_state(
+    cfg: RunConfig, checkpoint: str = "best_model", torch_checkpoint: str | None = None
+):
+    """Build the eval model and restore params/batch_stats from checkpoint.
+
+    `torch_checkpoint` evaluates a checkpoint produced by the REFERENCE
+    training code (best_model.pth, train.py:277-280) directly: the full
+    state dict is converted (models/torch_import.convert_cspn_state_dict)
+    and partial-restored; forward parity is pinned by
+    tests/test_torch_oracle.py.
+    """
     model = build_model(cfg, train=False)
     ds = build_dataset(cfg, "val", seed=0)
     sample = ds[0]
     x = jnp.asarray(sample["rgbd"][None])
     state = create_train_state(build_model(cfg, train=True), jax.random.PRNGKey(0), x)
+    if torch_checkpoint:
+        from cspn_tpu.models.torch_import import load_torch_cspn_checkpoint
+        from cspn_tpu.train.state import partial_restore
+
+        p_tree, s_tree = load_torch_cspn_checkpoint(torch_checkpoint)
+        state = state.replace(
+            params=partial_restore(state.params, p_tree, verbose=True),
+            batch_stats=partial_restore(state.batch_stats, s_tree),
+        )
+        print(f"==> imported reference torch checkpoint {torch_checkpoint}")
+        return model, state
     ckpt = ckpt_lib.CheckpointManager(cfg.best_model_dir)
     if ckpt.has(checkpoint):
         tree = ckpt_lib.state_to_tree(state, 0, float("inf"), cfg.optim.lr)
@@ -61,8 +81,9 @@ def run_eval(
     dump_images: bool = False,
     checkpoint: str = "best_model",
     max_batches: int | None = None,
+    torch_checkpoint: str | None = None,
 ) -> dict:
-    model, state = load_eval_state(cfg, checkpoint)
+    model, state = load_eval_state(cfg, checkpoint, torch_checkpoint=torch_checkpoint)
     eval_step = make_eval_step(model, cfg.optim.loss)
 
     run_avgs = []

@@ -1,0 +1,255 @@
+"""Live parity tests against the ACTUAL reference PyTorch code.
+
+These tests import and execute `/root/reference/cspn_pytorch/models/`
+(read-only) on CPU — `.cuda()` calls (cspn.py:50, torch_resnet_cspn_nyu.py:50)
+are monkeypatched to no-ops — and assert that:
+
+  1. `Affinity_Propagate.forward` (cspn.py:42-83) and `ops.cspn2d_reference`
+     agree for both norm types, with and without sparse anchoring;
+  2. the FULL reference model (`torch_resnet_cspn_nyu.resnet50`, :403-413)
+     and `CSPNUNet`, loaded with the reference's own weights through
+     `convert_cspn_state_dict` + `partial_restore`, produce the same depth
+     map at NYU geometry (228x304) to <= 1e-4;
+  3. a genuine torchvision-format ResNet state dict (built from torch.nn
+     modules, same key layout as the zoo checkpoints at
+     torch_resnet_cspn_nyu.py:23-29) imports through
+     `convert_resnet_state_dict` and reproduces torch's encoder features.
+
+Together these make the published accuracy numbers (cspn_pytorch/
+README.md:73-79) transfer by construction: a reference-trained checkpoint
+evaluates identically in this framework.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from cspn_tpu.models.torch_import import (
+    convert_cspn_state_dict,
+    convert_resnet_state_dict,
+)
+from cspn_tpu.models.unet import cspn_unet_resnet50
+from cspn_tpu.ops.cspn_ref import cspn2d_reference
+from cspn_tpu.train.state import partial_restore
+
+_REF_MODELS = "/root/reference/cspn_pytorch/models"
+
+
+@pytest.fixture(scope="module")
+def ref_modules():
+    """Import the reference model code with .cuda() neutralized (CPU box)."""
+    sys.dont_write_bytecode = True  # never write __pycache__ into /root/reference
+    orig_tensor_cuda = torch.Tensor.cuda
+    orig_module_cuda = torch.nn.Module.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+    sys.path.insert(0, _REF_MODELS)
+    try:
+        import cspn as ref_cspn
+        import torch_resnet_cspn_nyu as ref_net
+
+        yield ref_cspn, ref_net
+    finally:
+        sys.path.remove(_REF_MODELS)
+        torch.Tensor.cuda = orig_tensor_cuda
+        torch.nn.Module.cuda = orig_module_cuda
+        sys.dont_write_bytecode = False
+
+
+def _rand_sparse(rng, shape, frac=0.05):
+    mask = (rng.random(shape) < frac).astype(np.float32)
+    return mask * (0.5 + rng.random(shape).astype(np.float32))
+
+
+@pytest.mark.parametrize("norm_type", ["8sum", "8sum_abs"])
+@pytest.mark.parametrize("with_sparse", [True, False])
+def test_affinity_propagate_matches_torch(ref_modules, norm_type, with_sparse):
+    """Direct op-level parity: reference Affinity_Propagate vs our oracle."""
+    ref_cspn, _ = ref_modules
+    rng = np.random.default_rng(0)
+    n, h, w = 2, 13, 17
+    guidance = rng.standard_normal((n, 8, h, w)).astype(np.float32)
+    blur = rng.random((n, 1, h, w)).astype(np.float32)
+    sparse = _rand_sparse(rng, (n, 1, h, w)) if with_sparse else None
+
+    ap = ref_cspn.Affinity_Propagate(24, 3, norm_type=norm_type)
+    with torch.no_grad():
+        out_t = ap(
+            torch.from_numpy(guidance),
+            torch.from_numpy(blur),
+            torch.from_numpy(sparse) if sparse is not None else None,
+        ).numpy()[:, 0]
+
+    out_j = np.asarray(
+        cspn2d_reference(
+            jnp.asarray(np.transpose(guidance, (0, 2, 3, 1))),
+            jnp.asarray(blur[:, 0]),
+            jnp.asarray(sparse[:, 0]) if sparse is not None else None,
+            steps=24,
+            norm_type=norm_type,
+        )
+    )
+    np.testing.assert_allclose(out_j, out_t, rtol=1e-5, atol=1e-6)
+
+
+def _tree_paths(tree):
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return {p: l.shape for p, l in flat}
+
+
+@pytest.mark.parametrize("norm_type", ["8sum", "8sum_abs"])
+def test_full_model_matches_torch_resnet50(ref_modules, norm_type):
+    """Full-model forward parity at NYU geometry with imported weights.
+
+    The reference decoder hard-codes Bottleneck channel counts
+    (torch_resnet_cspn_nyu.py:314: Gudi_UpProj_Block(2048, ...)), so its
+    resnet18 constructor cannot forward — resnet50 is the only runnable
+    full model and is the published flagship (train.py:142-144).
+    """
+    _, ref_net = ref_modules
+    torch.manual_seed(0)
+    model_t = ref_net.resnet50(
+        pretrained=False, cspn_config={"step": 24, "norm_type": norm_type}
+    )
+    model_t.eval()
+
+    rng = np.random.default_rng(1)
+    h, w = 228, 304
+    rgb = rng.standard_normal((1, 3, h, w)).astype(np.float32)
+    sparse = _rand_sparse(rng, (1, 1, h, w), frac=500 / (h * w))
+    x_t = np.concatenate([rgb, sparse], axis=1)
+
+    with torch.no_grad():
+        out_t = model_t(torch.from_numpy(x_t)).numpy()[:, 0]
+
+    params, stats = convert_cspn_state_dict(model_t.state_dict())
+
+    model_j = cspn_unet_resnet50(
+        cspn_steps=24, cspn_norm_type=norm_type, cspn_backend="reference"
+    )
+    x_j = jnp.asarray(np.transpose(x_t, (0, 2, 3, 1)))
+    variables = jax.jit(model_j.init)(jax.random.PRNGKey(0), x_j)
+
+    # every parameter/stat of CSPNUNet must be covered by the conversion
+    # (true partial loads are exercised by the torchvision test below)
+    tgt_p, src_p = _tree_paths(variables["params"]), _tree_paths(params)
+    missing = {p: s for p, s in tgt_p.items() if src_p.get(p) != s}
+    assert not missing, f"unconverted/mismatched params: {sorted(missing)[:8]}"
+    tgt_s, src_s = _tree_paths(variables["batch_stats"]), _tree_paths(stats)
+    missing_s = {p: s for p, s in tgt_s.items() if src_s.get(p) != s}
+    assert not missing_s, f"unconverted batch stats: {sorted(missing_s)[:8]}"
+
+    merged = {
+        "params": partial_restore(variables["params"], params),
+        "batch_stats": partial_restore(variables["batch_stats"], stats),
+    }
+    out_j = np.asarray(jax.jit(model_j.apply)(merged, x_j))
+    np.testing.assert_allclose(out_j, out_t, rtol=1e-4, atol=1e-4)
+
+
+def test_torchvision_format_encoder_import(ref_modules):
+    """Pretrained-encoder partial load with a REAL torch-produced state dict.
+
+    Builds a torchvision-key-layout ResNet-50 from torch.nn modules (the
+    exact format of the zoo checkpoints the reference partial-loads at
+    torch_resnet_cspn_nyu.py:403-413), runs its layer1 on torch, and checks
+    the converted weights reproduce the same features in our encoder stack —
+    plus that partial_restore leaves the 4-channel stem at init (the
+    reference's update_model.py:13-20 intersection semantics).
+    """
+    torch.manual_seed(2)
+    import torch.nn as nn
+
+    # torchvision-resnet key layout: conv1/bn1/layer1.{b}.{conv,bn,downsample}
+    class Bottleneck(nn.Module):
+        def __init__(self, cin, planes, stride=1, ds=False):
+            super().__init__()
+            self.conv1 = nn.Conv2d(cin, planes, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(planes)
+            self.conv2 = nn.Conv2d(planes, planes, 3, stride, 1, bias=False)
+            self.bn2 = nn.BatchNorm2d(planes)
+            self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+            self.bn3 = nn.BatchNorm2d(planes * 4)
+            self.relu = nn.ReLU()
+            self.downsample = (
+                nn.Sequential(
+                    nn.Conv2d(cin, planes * 4, 1, stride, bias=False),
+                    nn.BatchNorm2d(planes * 4),
+                )
+                if ds
+                else None
+            )
+
+        def forward(self, x):
+            r = self.downsample(x) if self.downsample is not None else x
+            y = self.relu(self.bn1(self.conv1(x)))
+            y = self.relu(self.bn2(self.conv2(y)))
+            return self.relu(self.bn3(self.conv3(y)) + r)
+
+    class TorchVisionStyleResNet(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = nn.BatchNorm2d(64)
+            self.layer1 = nn.Sequential(
+                Bottleneck(64, 64, ds=True), Bottleneck(256, 64), Bottleneck(256, 64)
+            )
+            self.fc = nn.Linear(2048, 1000)  # converter must drop this
+
+    tv = TorchVisionStyleResNet()
+    tv.eval()
+    sd = tv.state_dict()
+    params, stats = convert_resnet_state_dict(sd)
+
+    # the 3-channel zoo stem converts but must NOT land in the 4-ch target:
+    # partial_restore's shape check drops it, the reference's update_model
+    # drops it by key-name mismatch — same net effect
+    assert params["encoder"]["conv1_1"]["kernel"].shape[2] == 3
+    assert "fc" not in params.get("encoder", {})
+    from cspn_tpu.models.resnet import ResNetEncoder
+
+    enc = ResNetEncoder(block="bottleneck", layers=(3,), train=False)
+    xe = jnp.zeros((1, 16, 24, 4))
+    ve = enc.init(jax.random.PRNGKey(9), xe)
+    merged_stem = partial_restore(ve["params"], params["encoder"])
+    # stem stays at init (shape mismatch) while bn1 scale was copied
+    np.testing.assert_array_equal(
+        merged_stem["conv1_1"]["kernel"], ve["params"]["conv1_1"]["kernel"]
+    )
+    np.testing.assert_array_equal(
+        merged_stem["bn1"]["BatchNorm_0"]["scale"],
+        params["encoder"]["bn1"]["BatchNorm_0"]["scale"],
+    )
+
+    # run torch layer1 on a fixed feature map
+    rng = np.random.default_rng(3)
+    feat = rng.standard_normal((1, 64, 16, 24)).astype(np.float32)
+    with torch.no_grad():
+        out_t = tv.layer1(torch.from_numpy(feat)).numpy()
+
+    # run our Bottleneck stage with the imported weights
+    from cspn_tpu.models.resnet import Bottleneck as JBottleneck
+
+    x = jnp.asarray(np.transpose(feat, (0, 2, 3, 1)))
+    for b in range(3):
+        blk = JBottleneck(64, stride=1, downsample=(b == 0), train=False)
+        v = blk.init(jax.random.PRNGKey(b), x)
+        merged = {
+            "params": partial_restore(
+                v["params"], params["encoder"][f"layer1_{b}"]
+            ),
+            "batch_stats": partial_restore(
+                v["batch_stats"], stats["encoder"][f"layer1_{b}"]
+            ),
+        }
+        x = blk.apply(merged, x)
+    out_j = np.transpose(np.asarray(x), (0, 3, 1, 2))
+    np.testing.assert_allclose(out_j, out_t, rtol=1e-4, atol=1e-5)
