@@ -102,25 +102,47 @@ def _shift_w(x: jnp.ndarray, dx: int) -> jnp.ndarray:
 
 
 def _fwd_kernel(
-    guid_ref,  # (1, 8, H, W) VMEM
-    blur_ref,  # (1, H, W) VMEM
-    sparse_ref,  # (1, H, W) VMEM or None
-    out_ref,  # (1, H, W) VMEM
-    g2_ref,  # (8, H, W) VMEM scratch: normalized gates, lane-unshifted
-    xpad_ref,  # (H+2, W) VMEM scratch: depth state padded along H only
+    guid_ref,  # (P, 8, H, W) VMEM (P = images packed along lanes, 1 or 2)
+    blur_ref,  # (P, H, W) VMEM
+    sparse_ref,  # (P, H, W) VMEM or None
+    out_ref,  # (P, H, W) VMEM
+    g2_ref,  # (8, H, Wp) VMEM scratch: normalized gates, lane-unshifted
+    xpad_ref,  # (H+2, Wp) VMEM scratch: depth state padded along H only
     *,
     steps: int,
     norm_abs: bool,
 ):
+    """Wp = P*W + 2*(P-1): P images side by side along the lane dimension
+    with 2-column zero separators.  W is usually not a lane-tile multiple
+    (NYU 304 pads to 384, 26% dead lanes); packing P=2 images into one
+    640-lane block cuts the padding waste to 5%.  The separator columns
+    carry zero gates and zero state, which reproduces the out-of-image
+    zero-neighbor semantics of the reference's padded canvases exactly
+    (cspn.py:104-129): contributions across an image edge multiply a zero
+    separator value, and the separator state stays zero because its gates,
+    x0 and base are all zero."""
     h, w = out_ref.shape[1], out_ref.shape[2]
+    n_pack = out_ref.shape[0]
 
-    # --- B_d[i, j] = g_d[i + dy_d, j]: sublane shift only ---
+    def packed(img_ref, c=None):
+        """Concatenate P single-image planes along lanes with 2-col zeros."""
+        parts = []
+        for p in range(n_pack):
+            plane = img_ref[p] if c is None else img_ref[p, c]
+            if p:
+                parts.append(jnp.zeros((h, 2), plane.dtype))
+            parts.append(plane)
+        return parts[0] if n_pack == 1 else jnp.concatenate(parts, axis=-1)
+
+    # --- B_d[i, j] = g_d[i + dy_d, j]: sublane shift only; images written
+    # straight into the canvas at their lane offsets (no concat temps) ---
     xpad_ref[:] = jnp.zeros_like(xpad_ref)  # reused as padding canvas for gates
     for d, (dy, _) in enumerate(_OFFS):
-        g = guid_ref[0, d]
-        if norm_abs:
-            g = jnp.abs(g)
-        xpad_ref[1 : h + 1, :] = g
+        for p in range(n_pack):
+            g = guid_ref[p, d]
+            if norm_abs:
+                g = jnp.abs(g)
+            xpad_ref[1 : h + 1, p * (w + 2) : p * (w + 2) + w] = g
         g2_ref[d] = xpad_ref[1 + dy : 1 + dy + h, :]
 
     # --- canvas normalizer A[i,j] = sum_d |B_d[i, j + dx_d]|: 2 lane shifts ---
@@ -128,8 +150,10 @@ def _fwd_kernel(
         dx: sum(jnp.abs(g2_ref[d]) for d in ds) for dx, ds in _BY_DX.items()
     }
     denom = col_abs[0] + _shift_w(col_abs[1], 1) + _shift_w(col_abs[-1], -1)
-    nonzero = denom > 0.0
-    inv = jnp.where(nonzero, 1.0 / jnp.where(nonzero, denom, 1.0), 0.0)
+    # A == 0 iff ALL eight |B_d| vanish, so dividing them by max(A, tiny)
+    # yields exactly-zero gates there -- identical to the guarded-select
+    # form but one op instead of four
+    inv = 1.0 / jnp.maximum(denom, 1e-30)
     inv_by_dx = {0: inv, 1: _shift_w(inv, -1), -1: _shift_w(inv, 1)}
 
     # --- G2_d[i,j] = B_d[i,j] * inv[i, j - dx_d]; gate_sum for center term ---
@@ -144,14 +168,22 @@ def _fwd_kernel(
     gate_sum = col_sum[0] + _shift_w(col_sum[1], 1) + _shift_w(col_sum[-1], -1)
 
     # --- propagation: `steps` stencil iterations entirely in VMEM ---
-    x0 = blur_ref[0]
+    # anchoring folded into the gates: y = keep*(sum g2.x + center*x0) + m*x0
+    # = sum (keep.g2).x + [keep*center*x0 + m*x0], so the step body is the
+    # VPU minimum for this stencil: 8 mul + 7 add + 2 lane shifts + 1 add.
+    # NB keep multiplies at OUTPUT coords, g2 is lane-unshifted (G2_d[i,j]
+    # multiplies into output [i, j-dx]), so fold shift_w(keep, -dx) per group.
+    x0 = packed(blur_ref)
     center_x0 = (1.0 - gate_sum) * x0
     if sparse_ref is not None:
-        mask = jnp.sign(sparse_ref[0])
+        mask = jnp.sign(packed(sparse_ref))
         keep_x = 1.0 - mask
         base = keep_x * center_x0 + mask * x0
+        keep_by_dx = {0: keep_x, 1: _shift_w(keep_x, -1), -1: _shift_w(keep_x, 1)}
+        for dx, ds in _BY_DX.items():
+            for d in ds:
+                g2_ref[d] = g2_ref[d] * keep_by_dx[dx]
     else:
-        keep_x = None
         base = center_x0
     xpad_ref[:] = jnp.zeros_like(xpad_ref)
     xpad_ref[1 : h + 1, :] = x0
@@ -163,16 +195,13 @@ def _fwd_kernel(
             dx: sum(g2_ref[d] * rows[_OFFS[d][0]] for d in ds)
             for dx, ds in _BY_DX.items()
         }
-        y = u[0] + _shift_w(u[1], 1) + _shift_w(u[-1], -1)
-        if keep_x is not None:
-            y = keep_x * y + base
-        else:
-            y = y + base
+        y = u[0] + _shift_w(u[1], 1) + _shift_w(u[-1], -1) + base
         xpad_ref[1 : h + 1, :] = y
         return carry
 
     lax.fori_loop(0, steps, body, 0, unroll=False)
-    out_ref[0] = xpad_ref[1 : h + 1, :]
+    for p in range(n_pack):
+        out_ref[p] = xpad_ref[1 : h + 1, p * (w + 2) : p * (w + 2) + w]
 
 
 def _fwd_kernel_nosparse(guid_ref, blur_ref, out_ref, g2_ref, xpad_ref, **kw):
@@ -189,14 +218,24 @@ def _cspn2d_pallas_impl(
 ) -> jnp.ndarray:
     n, _, h, w = guidance_cf.shape
     use_sparse = sparse_depth is not None
+    # pack 2 images along lanes (separated by 2 zero columns) when W is not
+    # a lane-tile multiple: NYU W=304 pads to 384 lanes (26% of VPU work
+    # wasted); a 610-lane pair block pads to 640 (5% waste).  Lane-aligned
+    # widths and odd batches keep the 1-image grid.
+    n_pack = 2 if (n % 2 == 0 and w % 128 != 0 and fwd_fits_vmem(h, 2 * w + 2)) else 1
+    wp = n_pack * w + 2 * (n_pack - 1)
     kernel = functools.partial(
         _fwd_kernel if use_sparse else _fwd_kernel_nosparse,
         steps=steps,
         norm_abs="abs" in norm_type,
     )
-    img_spec = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    img_spec = pl.BlockSpec(
+        (n_pack, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
     in_specs = [
-        pl.BlockSpec((1, 8, h, w), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (n_pack, 8, h, w), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
         img_spec,
     ]
     args = [guidance_cf.astype(jnp.float32), blur_depth.astype(jnp.float32)]
@@ -206,13 +245,13 @@ def _cspn2d_pallas_impl(
     flops_step = 8 * 2 * h * w
     return pl.pallas_call(
         kernel,
-        grid=(n,),
+        grid=(n // n_pack,),
         out_shape=jax.ShapeDtypeStruct((n, h, w), jnp.float32),
         in_specs=in_specs,
         out_specs=img_spec,
         scratch_shapes=[
-            pltpu.VMEM((8, h, w), jnp.float32),
-            pltpu.VMEM((h + 2, w), jnp.float32),
+            pltpu.VMEM((8, h, wp), jnp.float32),
+            pltpu.VMEM((h + 2, wp), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=n * steps * flops_step,
@@ -249,10 +288,17 @@ def _halo_seg_kernel(
     k_steps: int,
 ):
     h, w = out_ref.shape[1], out_ref.shape[2]
-    for d, (_, dx) in enumerate(_OFFS):
-        g2_ref[d] = _shift_w(g_ref[0, d], -dx)  # G2_d[i,j] = gate_d[i, j-dx]
+    # anchoring folded into the gates at prologue (see _fwd_kernel): the
+    # step body is then the VPU minimum 8 mul + 7 add + 2 lane shifts + 1 add
+    if keep_ref is not None:
+        keep = keep_ref[0]
+        keep_by_dx = {0: keep, 1: _shift_w(keep, -1), -1: _shift_w(keep, 1)}
+        for d, (_, dx) in enumerate(_OFFS):
+            g2_ref[d] = _shift_w(g_ref[0, d], -dx) * keep_by_dx[dx]
+    else:
+        for d, (_, dx) in enumerate(_OFFS):
+            g2_ref[d] = _shift_w(g_ref[0, d], -dx)  # G2_d[i,j] = gate_d[i,j-dx]
     base = base_ref[0]
-    keep = keep_ref[0] if keep_ref is not None else None
     xpad_ref[:] = jnp.zeros_like(xpad_ref)
     xpad_ref[1 : h + 1, :] = x_ref[0]
 
@@ -262,8 +308,7 @@ def _halo_seg_kernel(
             dx: sum(g2_ref[d] * rows[_OFFS[d][0]] for d in ds)
             for dx, ds in _BY_DX.items()
         }
-        y = u[0] + _shift_w(u[1], 1) + _shift_w(u[-1], -1)
-        y = keep * y + base if keep is not None else y + base
+        y = u[0] + _shift_w(u[1], 1) + _shift_w(u[-1], -1) + base
         xpad_ref[1 : h + 1, :] = y
         return carry
 
