@@ -45,14 +45,20 @@ def cspn2d(
     if backend == "pallas":
         from cspn_tpu.ops import cspn_pallas
 
-        if not cspn_pallas.fwd_fits_vmem(guidance.shape[-3], guidance.shape[-2]):
-            # image too large for the single-invocation kernel's VMEM budget:
-            # XLA-composed fallback (a future row-tiled kernel can lift this)
-            backend = "reference"
-        else:
+        h, w = guidance.shape[-3], guidance.shape[-2]
+        if cspn_pallas.fwd_fits_vmem(h, w):
             return cspn_pallas.cspn2d_pallas(
                 guidance, blur_depth, sparse_depth, steps=steps, norm_type=norm_type
             )
+        if cspn_pallas.tiled_fwd_fits(h, w, steps):
+            # image too large for the whole-image kernel's VMEM budget:
+            # row-tiled fused path (all steps per tile in VMEM, steps-row
+            # halos; ~1 normalize pass + ~1.2x one plane read/write of HBM
+            # traffic instead of ~10 planes per step for composed XLA)
+            return cspn_pallas.cspn2d_tiled(
+                guidance, blur_depth, sparse_depth, steps=steps, norm_type=norm_type
+            )
+        backend = "reference"  # width beyond even the tiled VMEM budget
     if backend == "reference":
         return cspn_ref.cspn2d_reference(
             guidance, blur_depth, sparse_depth, steps=steps, norm_type=norm_type

@@ -441,6 +441,273 @@ def cspn2d_halo_segment(
     )
 
 
+# --- single-device row-tiled fused forward (oversized images) --------------
+#
+# Images whose 31-plane working set exceeds the whole-image kernel's VMEM
+# budget used to drop to the XLA-composed path (~10 planes of HBM traffic
+# per step, 24x).  Instead: a grid over row tiles where each tile manually
+# DMAs its `steps`-row halo-extended slice of the inputs straight from HBM
+# into VMEM (no intermediate materialization of overlapping tiles), runs
+# the SAME normalize + steps body as the whole-image kernel, and DMAs its
+# interior rows out.  Tile interiors are exact by the usual halo argument
+# (cut rows are stale by <= 1 row/step, and only interior rows are
+# written).  HBM traffic ~ (1 + 2*halo/tile_h) x one read of the inputs +
+# one write of the output, independent of `steps`.
+
+
+def _tiled_rows_budget(w: int) -> int:
+    """Max halo-extended tile height the DMA-tiled kernel holds in VMEM:
+    gin (8, reused in place for the normalized gates) + xpad + bin + sin +
+    out stage + ~6 planes of vector temps."""
+    wp = w + (-w) % 128
+    return _VMEM_BUDGET_BYTES // (18 * wp * 4)
+
+
+def tiled_fwd_fits(h: int, w: int, steps: int = 24) -> bool:
+    halo = -(-steps // 8) * 8
+    return _tiled_rows_budget(w) >= 2 * halo + 8
+
+
+def _fwd_dma_kernel(
+    guid_hbm,  # [N, 8, H, W] ANY (HBM), H % 8 == 0
+    blur_hbm,  # [N, H, W] ANY
+    sparse_hbm,  # [N, H, W] ANY or absent
+    out_hbm,  # [N, H, W] ANY
+    gin_ref,  # (8, rows, W) VMEM scratch: guidance tile, then G2 in place
+    xpad_ref,  # (rows+16, W) VMEM scratch: 8-row top pad (DMA alignment), state at [8, 8+rows)
+    bin_ref,  # (rows, W) VMEM scratch: blur tile
+    sin_ref,  # (rows, W) VMEM scratch or absent
+    sems,  # DMA semaphores (4,)
+    *,
+    steps: int,
+    norm_abs: bool,
+    tile_h: int,
+    halo: int,
+    h: int,
+):
+    """All row offsets (s0, o0, io) are multiples of 8 by construction
+    (h, tile_h, halo, rows are), which Mosaic requires to slice (8,128)-tiled
+    memrefs at dynamic offsets; the state sits at an 8-row top pad inside
+    xpad so the final interior DMA source offset 8+io is aligned too."""
+    rows = gin_ref.shape[1]
+    i, t = pl.program_id(0), pl.program_id(1)
+    # output rows [o0, o0+tile_h); the last tile is pulled up so a ragged H
+    # just recomputes a few rows.  Source rows [s0, s0+rows) clamped into
+    # the image: at global borders the tile simply extends further inward,
+    # and the kernel's zero row padding is then the TRUE image border.
+    o0 = pl.multiple_of(jnp.minimum(t * tile_h, h - tile_h), 8)
+    s0 = pl.multiple_of(jnp.clip(o0 - halo, 0, h - rows), 8)
+
+    in_copies = [
+        pltpu.make_async_copy(
+            guid_hbm.at[i, :, pl.ds(s0, rows), :], gin_ref, sems.at[0]
+        ),
+        pltpu.make_async_copy(
+            blur_hbm.at[i, pl.ds(s0, rows), :], bin_ref, sems.at[1]
+        ),
+    ]
+    if sin_ref is not None:
+        in_copies.append(
+            pltpu.make_async_copy(
+                sparse_hbm.at[i, pl.ds(s0, rows), :], sin_ref, sems.at[2]
+            )
+        )
+    for c in in_copies:
+        c.start()
+    for c in in_copies:
+        c.wait()
+
+    # --- identical body to _fwd_kernel (n_pack=1, h -> rows), with the
+    # normalized gates written back IN PLACE over the guidance tile ---
+    xpad_ref[:] = jnp.zeros_like(xpad_ref)
+    for d, (dy, _) in enumerate(_OFFS):
+        g = gin_ref[d]
+        if norm_abs:
+            g = jnp.abs(g)
+        xpad_ref[8 : rows + 8, :] = g
+        gin_ref[d] = xpad_ref[8 + dy : 8 + dy + rows, :]
+    col_abs = {
+        dx: sum(jnp.abs(gin_ref[d]) for d in ds) for dx, ds in _BY_DX.items()
+    }
+    denom = col_abs[0] + _shift_w(col_abs[1], 1) + _shift_w(col_abs[-1], -1)
+    inv = 1.0 / jnp.maximum(denom, 1e-30)
+    inv_by_dx = {0: inv, 1: _shift_w(inv, -1), -1: _shift_w(inv, 1)}
+    col_sum = {}
+    for dx, ds in _BY_DX.items():
+        acc = None
+        for d in ds:
+            g2 = gin_ref[d] * inv_by_dx[dx]
+            gin_ref[d] = g2
+            acc = g2 if acc is None else acc + g2
+        col_sum[dx] = acc
+    gate_sum = col_sum[0] + _shift_w(col_sum[1], 1) + _shift_w(col_sum[-1], -1)
+
+    x0 = bin_ref[:]
+    center_x0 = (1.0 - gate_sum) * x0
+    if sin_ref is not None:
+        mask = jnp.sign(sin_ref[:])
+        keep_x = 1.0 - mask
+        base = keep_x * center_x0 + mask * x0
+        keep_by_dx = {0: keep_x, 1: _shift_w(keep_x, -1), -1: _shift_w(keep_x, 1)}
+        for dx, ds in _BY_DX.items():
+            for d in ds:
+                gin_ref[d] = gin_ref[d] * keep_by_dx[dx]
+    else:
+        base = center_x0
+    xpad_ref[:] = jnp.zeros_like(xpad_ref)
+    xpad_ref[8 : rows + 8, :] = x0
+
+    def body(_, carry):
+        rws = {dy: xpad_ref[8 + dy : 8 + dy + rows, :] for dy in (-1, 0, 1)}
+        u = {
+            dx: sum(gin_ref[d] * rws[_OFFS[d][0]] for d in ds)
+            for dx, ds in _BY_DX.items()
+        }
+        y = u[0] + _shift_w(u[1], 1) + _shift_w(u[-1], -1) + base
+        xpad_ref[8 : rows + 8, :] = y
+        return carry
+
+    lax.fori_loop(0, steps, body, 0, unroll=False)
+
+    io = o0 - s0  # interior offset inside the tile (multiple of 8)
+    out_copy = pltpu.make_async_copy(
+        xpad_ref.at[pl.ds(pl.multiple_of(8 + io, 8), tile_h), :],
+        out_hbm.at[i, pl.ds(o0, tile_h), :],
+        sems.at[3],
+    )
+    out_copy.start()
+    out_copy.wait()
+
+
+def _fwd_dma_kernel_nosparse(guid_hbm, blur_hbm, out_hbm, gin_ref, xpad_ref,
+                             bin_ref, sems, **kw):
+    _fwd_dma_kernel(guid_hbm, blur_hbm, None, out_hbm, gin_ref, xpad_ref,
+                    bin_ref, None, sems, **kw)
+
+
+def _cspn2d_tiled_impl(guidance_cf, blur_depth, sparse_depth, steps,
+                       norm_type, interpret):
+    n, _, h0, w0 = guidance_cf.shape
+    # zero-padding H to a multiple of 8 (sublane tile) and W to a multiple
+    # of 128 (lane tile) is EXACTLY equivalent: zero guidance rows/columns
+    # behave as the reference's zero image border.  Mosaic requires both for
+    # manual DMA slicing of tiled memrefs (dynamic row offsets must be
+    # 8-aligned; sliced widths must be lane-tile-aligned).
+    h = h0 + (-h0) % 8
+    w = w0 + (-w0) % 128
+    if h != h0 or w != w0:
+        pads3 = [(0, 0), (0, h - h0), (0, w - w0)]
+        guidance_cf = jnp.pad(guidance_cf, [(0, 0), (0, 0)] + pads3[1:])
+        blur_depth = jnp.pad(blur_depth, pads3)
+        if sparse_depth is not None:
+            sparse_depth = jnp.pad(sparse_depth, pads3)
+    halo = -(-steps // 8) * 8  # >= steps, multiple of 8
+    budget = _tiled_rows_budget(w)
+    tile_h = (budget - 2 * halo) // 8 * 8
+    if tile_h < 8:
+        raise ValueError(f"width {w} too large for the tiled kernel's VMEM budget")
+    n_tiles = -(-h // tile_h)
+    tile_h = min(tile_h, -(-h // (8 * n_tiles)) * 8)  # balance tiles
+    rows = min(tile_h + 2 * halo, h)
+    use_sparse = sparse_depth is not None
+    kernel = functools.partial(
+        _fwd_dma_kernel if use_sparse else _fwd_dma_kernel_nosparse,
+        steps=steps,
+        norm_abs="abs" in norm_type,
+        tile_h=tile_h,
+        halo=halo,
+        h=h,
+    )
+    args = [guidance_cf.astype(jnp.float32), blur_depth.astype(jnp.float32)]
+    if use_sparse:
+        args.append(sparse_depth.astype(jnp.float32))
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    scratch = [
+        pltpu.VMEM((8, rows, w), jnp.float32),  # gin / G2 in place
+        pltpu.VMEM((rows + 16, w), jnp.float32),  # xpad (8-row top pad)
+        pltpu.VMEM((rows, w), jnp.float32),  # bin
+    ]
+    if use_sparse:
+        scratch.append(pltpu.VMEM((rows, w), jnp.float32))  # sin
+    scratch.append(pltpu.SemaphoreType.DMA((4,)))
+    out = pl.pallas_call(
+        kernel,
+        grid=(n, n_tiles),
+        out_shape=jax.ShapeDtypeStruct((n, h, w), jnp.float32),
+        in_specs=[any_spec] * len(args),
+        out_specs=any_spec,
+        scratch_shapes=scratch,
+        cost_estimate=pl.CostEstimate(
+            flops=n * steps * 8 * 2 * h * w,
+            bytes_accessed=n * 11 * h * w * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES),
+        interpret=interpret,
+    )(*args)
+    return out[:, :h0, :w0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _cspn2d_tiled_vjp(guidance_cf, blur_depth, sparse_depth, steps, norm_type,
+                      interpret):
+    return _cspn2d_tiled_impl(
+        guidance_cf, blur_depth, sparse_depth, steps, norm_type, interpret
+    )
+
+
+def _cspn2d_tiled_fwd(guidance_cf, blur_depth, sparse_depth, steps, norm_type,
+                      interpret):
+    out = _cspn2d_tiled_impl(
+        guidance_cf, blur_depth, sparse_depth, steps, norm_type, interpret
+    )
+    return out, (guidance_cf, blur_depth, sparse_depth)
+
+
+def _cspn2d_tiled_bwd(steps, norm_type, interpret, residuals, ct):
+    # oversized-image backward: rematerialize through the XLA reference
+    # (same fallback the whole-image kernel uses beyond bwd_fits_vmem)
+    guidance_cf, blur_depth, sparse_depth = residuals
+
+    def ref_fwd(g_cf, blur):
+        return cspn_ref.cspn2d_reference(
+            jnp.moveaxis(g_cf, 1, -1), blur, sparse_depth,
+            steps=steps, norm_type=norm_type,
+        )
+
+    _, vjp = jax.vjp(ref_fwd, guidance_cf, blur_depth)
+    dg, db = vjp(ct)
+    ds = jnp.zeros_like(sparse_depth) if sparse_depth is not None else None
+    return dg, db, ds
+
+
+_cspn2d_tiled_vjp.defvjp(_cspn2d_tiled_fwd, _cspn2d_tiled_bwd)
+
+
+def cspn2d_tiled(
+    guidance: jnp.ndarray,
+    blur_depth: jnp.ndarray,
+    sparse_depth: jnp.ndarray | None = None,
+    *,
+    steps: int = 24,
+    norm_type: str = "8sum",
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Row-tiled fused 2D CSPN for images beyond fwd_fits_vmem.
+
+    guidance [N, H, W, 8]; blur/sparse [N, H, W].  Matches
+    cspn_ref.cspn2d_reference exactly (every output row is an interior row
+    of some tile; tests).  Differentiable: backward rematerializes through
+    the XLA reference.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    g_cf = jnp.moveaxis(guidance, -1, 1)
+    return _cspn2d_tiled_vjp(
+        g_cf, blur_depth, sparse_depth, steps, norm_type, interpret
+    )
+
+
 # --- fused backward kernel -------------------------------------------------
 #
 # Reverse-mode through the linear recurrence x_{t+1} = keep*S(x_t) + base:

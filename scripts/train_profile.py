@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--out", default="/tmp/train_trace")
+    ap.add_argument("--artifact", default=None,
+                    help="write a JSON rollup artifact to this path")
     args = ap.parse_args()
 
     import jax
@@ -91,6 +93,27 @@ def main():
     print(f"\ntop {args.top} ops (ms/step):")
     for op, ms in by_op.most_common(args.top):
         print(f"  {ms / args.steps:8.3f}  {op}")
+
+    if args.artifact:
+        rec = {
+            "what": "flagship train-step per-op device-time rollup "
+                    "(ResNet50-UNet + 24-step CSPN, fused bwd kernel)",
+            "batch": b,
+            "hw": [h, w],
+            "dtype": args.dtype,
+            "ms_per_step": round(per_step, 2),
+            "frames_per_s": round(b / per_step * 1e3, 1),
+            "by_category_ms": {
+                c: round(ms / args.steps, 2) for c, ms in by_cat.most_common()
+            },
+            "top_ops_ms": {
+                op: round(ms / args.steps, 3)
+                for op, ms in by_op.most_common(args.top)
+            },
+        }
+        with open(args.artifact, "w") as f:
+            json.dump(rec, f, indent=1)
+        print(f"wrote {args.artifact}")
 
 
 if __name__ == "__main__":

@@ -112,3 +112,49 @@ def test_vmem_guard_dispatch_fallback(rng, monkeypatch):
     out = cspn.cspn2d(g, b, s, steps=4, backend="auto")
     want = cspn_ref.cspn2d_reference(g, b, s, steps=4)
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("h", [40, 37])  # 37: ragged H -> zero-pad to 40
+def test_tiled_forward_matches_oracle(rng, monkeypatch, h):
+    """Row-tiled oversized-image path: multiple tiles with steps-row halos
+    must agree with the whole-image oracle exactly (interiors are exact by
+    the halo argument; every output row is an interior row of some tile)."""
+    from cspn_tpu.ops import cspn, cspn_pallas
+
+    steps = 6
+    g, b, s = _inputs(rng, n=2, h=h, w=16)
+    # shrink the budget so the 40-row image splits into several tiles
+    # (halo rounds up to 8, so budget 32 -> tile_h 16 -> 3 tiles)
+    monkeypatch.setattr(cspn_pallas, "_tiled_rows_budget", lambda w: 32)
+    out = cspn_pallas.cspn2d_tiled(g, b, s, steps=steps, interpret=True)
+    want = cspn_ref.cspn2d_reference(g, b, s, steps=steps)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+    # dispatch: fwd too large but tiled fits -> tiled path
+    monkeypatch.setattr(cspn_pallas, "fwd_fits_vmem", lambda h, w: False)
+    monkeypatch.setattr(cspn, "_default_backend", lambda: "pallas")
+    out2 = cspn.cspn2d(g, b, s, steps=steps, backend="auto")
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+
+def test_tiled_forward_grads_match_oracle(rng, monkeypatch):
+    """Backward through the tiled composition (normalization in XLA + per-
+    tile remat through the composed segment) matches oracle autodiff."""
+    from cspn_tpu.ops import cspn_pallas
+
+    steps = 4
+    g, b, s = _inputs(rng, n=1, h=24, w=12)
+    monkeypatch.setattr(cspn_pallas, "_tiled_rows_budget", lambda w: 32)
+
+    def loss_tiled(g, b):
+        return jnp.sum(
+            cspn_pallas.cspn2d_tiled(g, b, s, steps=steps, interpret=True) ** 2
+        )
+
+    def loss_ref(g, b):
+        return jnp.sum(cspn_ref.cspn2d_reference(g, b, s, steps=steps) ** 2)
+
+    dg_t, db_t = jax.grad(loss_tiled, argnums=(0, 1))(g, b)
+    dg_r, db_r = jax.grad(loss_ref, argnums=(0, 1))(g, b)
+    np.testing.assert_allclose(np.asarray(dg_t), np.asarray(dg_r), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(db_t), np.asarray(db_r), rtol=1e-4, atol=1e-5)
