@@ -209,13 +209,11 @@ def _demo_step(params, opt_state, loss_fn, opt):
     return params, opt_state, loss
 
 
-def cmd_train_stereo(args):
-    """Train the PSMNet+3D-CSPN stereo model on Scene Flow manifests
-    (--train-list/--eval-list CSVs with left,right,disp columns; disparity
-    as PFM, cspn_paddle/README.md:93) or the synthetic fixture."""
+def _build_stereo(args):
+    """Shared stereo config + loaders for train-stereo / eval-stereo."""
     from cspn_tpu.data import DataLoader, SceneFlowStereoDataset
     from cspn_tpu.data.datasets import SyntheticStereoDataset
-    from cspn_tpu.train.stereo_loop import StereoConfig, StereoTrainer
+    from cspn_tpu.train.stereo_loop import StereoConfig
 
     cfg = StereoConfig(
         max_disp=args.max_disp,
@@ -246,7 +244,27 @@ def cmd_train_stereo(args):
                                         max_disp=cfg.max_disp, seed=1)
     train_loader = DataLoader(train_ds, cfg.batch_size, shuffle=True, drop_last=True)
     val_loader = DataLoader(val_ds, cfg.batch_size)
+    return cfg, train_loader, val_loader
+
+
+def cmd_train_stereo(args):
+    """Train the PSMNet+3D-CSPN stereo model on Scene Flow manifests
+    (--train-list/--eval-list CSVs with left,right,disp columns; disparity
+    as PFM, cspn_paddle/README.md:93) or the synthetic fixture."""
+    from cspn_tpu.train.stereo_loop import StereoTrainer
+
+    cfg, train_loader, val_loader = _build_stereo(args)
     StereoTrainer(cfg, train_loader, val_loader).fit()
+
+
+def cmd_eval_stereo(args):
+    """Evaluate the stereo model: EPE / >3px / D1 on the val set, optional
+    KITTI-convention uint16 disparity PNG dumps."""
+    from cspn_tpu.train.stereo_loop import StereoTrainer
+
+    cfg, _, val_loader = _build_stereo(args)
+    trainer = StereoTrainer(cfg, val_loader, val_loader)
+    trainer.run_eval(checkpoint=args.checkpoint, dump_images=args.dump_images)
 
 
 def cmd_make_manifest(args):
@@ -325,28 +343,41 @@ def main(argv=None):
     p_demo.add_argument("--iter-num", type=int, default=20)
     p_demo.set_defaults(fn=cmd_demo)
 
+    def _add_stereo_args(p):
+        p.add_argument("--max-disp", type=int, default=64)
+        p.add_argument("--features", type=int, default=16)
+        p.add_argument("--prop-step", type=int, default=12)
+        p.add_argument("--no-cspn", action="store_true")
+        p.add_argument("--dtype", dest="stereo_dtype", default=None,
+                       choices=["float32", "bfloat16"],
+                       help="conv/activation dtype (bf16 mixed precision; "
+                            "params and CSPN refinement stay f32)")
+        p.add_argument("--lr", type=float, default=1e-3)
+        p.add_argument("--num-epoch", type=int, default=5)
+        p.add_argument("--batch-size", type=int, default=2)
+        p.add_argument("--height", type=int, default=64)
+        p.add_argument("--width", type=int, default=96)
+        p.add_argument("--train-size", type=int, default=32)
+        p.add_argument("--train-list", default=None,
+                       help="Scene Flow CSV manifest (left,right,disp columns)")
+        p.add_argument("--eval-list", default=None)
+        p.add_argument("--root-dir", default=".")
+        p.add_argument("--save-dir", default="result/stereo_cspn")
+
     p_st = sub.add_parser("train-stereo",
                           help="train the PSMNet + 3D-CSPN stereo model")
-    p_st.add_argument("--max-disp", type=int, default=64)
-    p_st.add_argument("--features", type=int, default=16)
-    p_st.add_argument("--prop-step", type=int, default=12)
-    p_st.add_argument("--no-cspn", action="store_true")
-    p_st.add_argument("--dtype", dest="stereo_dtype", default=None,
-                      choices=["float32", "bfloat16"],
-                      help="conv/activation dtype (bf16 mixed precision; "
-                           "params and CSPN refinement stay f32)")
-    p_st.add_argument("--lr", type=float, default=1e-3)
-    p_st.add_argument("--num-epoch", type=int, default=5)
-    p_st.add_argument("--batch-size", type=int, default=2)
-    p_st.add_argument("--height", type=int, default=64)
-    p_st.add_argument("--width", type=int, default=96)
-    p_st.add_argument("--train-size", type=int, default=32)
-    p_st.add_argument("--train-list", default=None,
-                      help="Scene Flow CSV manifest (left,right,disp columns)")
-    p_st.add_argument("--eval-list", default=None)
-    p_st.add_argument("--root-dir", default=".")
-    p_st.add_argument("--save-dir", default="result/stereo_cspn")
+    _add_stereo_args(p_st)
     p_st.set_defaults(fn=cmd_train_stereo)
+
+    p_se = sub.add_parser(
+        "eval-stereo",
+        help="evaluate the stereo model (EPE / >3px / D1, disparity dumps)",
+    )
+    _add_stereo_args(p_se)
+    p_se.add_argument("--checkpoint", default="best_model")
+    p_se.add_argument("--dump-images", action="store_true",
+                      help="write %%05d_{disp,gt}.png (uint16 disp*256)")
+    p_se.set_defaults(fn=cmd_eval_stereo)
 
     p_mm = sub.add_parser("make-manifest",
                           help="generate a datalist CSV from a directory of h5 frames")

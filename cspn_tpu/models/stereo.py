@@ -248,7 +248,7 @@ class PSMNetCSPN(nn.Module):
     # runs with the cost volume's D axis sharded over 'spatial' and K-step
     # halo exchange over ICI (parallel/halo.py, BASELINE config 5)
     spatial_mesh: object = None
-    spatial_halo: int = 4
+    spatial_halo: object = None  # None = cost-model-chosen K
 
     @nn.compact
     def __call__(self, left, right):
@@ -320,7 +320,10 @@ def smooth_l1_disparity_loss(
 
 
 def end_point_error(pred: jnp.ndarray, gt: jnp.ndarray, max_disp: float) -> dict:
-    """Stereo metrics: EPE and >3px error rate over valid pixels."""
+    """Stereo metrics over valid pixels (0 < gt < max_disp):
+    EPE (mean abs disparity error), >3px error rate, and D1 (the KITTI
+    convention: wrong if the error is BOTH > 3 px AND > 5% of the true
+    disparity)."""
     mask = (gt > 0) & (gt < max_disp)
     m = mask.astype(jnp.float32)
     n = jnp.maximum(m.sum(), 1.0)
@@ -328,4 +331,5 @@ def end_point_error(pred: jnp.ndarray, gt: jnp.ndarray, max_disp: float) -> dict
     return {
         "EPE": jnp.sum(d * m) / n,
         "3px": jnp.sum(((d > 3.0) & mask).astype(jnp.float32)) / n,
+        "D1": jnp.sum(((d > 3.0) & (d > 0.05 * gt) & mask).astype(jnp.float32)) / n,
     }

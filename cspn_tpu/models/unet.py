@@ -50,7 +50,7 @@ class CSPNUNet(nn.Module):
     # when set (a jax.sharding.Mesh with 'data'/'spatial' axes), the CSPN
     # post-process runs spatially sharded with halo exchange (parallel/halo.py)
     spatial_mesh: Any = None
-    spatial_halo: int = 4
+    spatial_halo: Any = None  # None = cost-model-chosen K (parallel.halo.choose_halo)
     # mixed precision: compute dtype for the conv net (e.g. jnp.bfloat16);
     # params stay float32 and the CSPN post-process always runs in float32
     dtype: Any = None

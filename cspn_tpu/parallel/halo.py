@@ -32,6 +32,52 @@ from cspn_tpu.ops.cspn_ref import normalize_affinity_2d
 from cspn_tpu.ops.neighbors import OFFSETS_2D_REFERENCE, neighbor_offsets, shift
 
 
+# --- halo-width autotune (docs/SCALING.md cost model 2, wired in) ----------
+#
+# Per segment of K local steps the device pays: redundant stencil compute on
+# the 2K halo rows, one HBM reload of the (gates + base/keep + state) planes
+# for the fused segment kernel, a kernel launch, and one ppermute pair.
+# Measured v5e constants (scripts/kernel_roofline.py, scripts/vpu_probe.py):
+
+_T2D_STEP_S_PER_PX = 7.5e-12   # fused 2D segment, per pixel-step
+_T3D_STEP_S_PER_VOX = 22e-12   # fused 3D whole-volume schedule
+_HBM_BPS = 819e9               # v5e HBM
+_ICI_BPS = 45e9                # v5e per-link, per direction
+_ICI_LAT_S = 2e-6
+_SEG_LAUNCH_S = 5e-6
+
+
+def choose_halo(
+    steps: int,
+    shard_extent: int,
+    plane_px: int,
+    batch: int,
+    *,
+    n_gate_planes: int = 8,
+    t_step: float = _T2D_STEP_S_PER_PX,
+) -> int:
+    """Pick the halo width K minimizing the per-device segment cost model.
+
+    shard_extent: local length of the sharded axis (rows for 2D, D for 3D);
+    plane_px: pixels per unit of the sharded axis (W for 2D, H*W for 3D).
+    Evaluates T(K) = compute(extended block, all steps) + rounds * (gate
+    reload + launch + ppermute) over K in [1, min(steps, shard_extent-1)]
+    (a halo can only reach the immediate mesh neighbor).
+    """
+    k_max = max(1, min(steps, shard_extent - 1))
+    best_k, best_t = 1, float("inf")
+    for k in range(1, k_max + 1):
+        rounds = -(-steps // k)
+        ext = shard_extent + 2 * k
+        compute = steps * ext * plane_px * batch * t_step
+        reload = (n_gate_planes + 3) * ext * plane_px * batch * 4 / _HBM_BPS
+        comm = _ICI_LAT_S + 2 * k * plane_px * batch * 4 / _ICI_BPS
+        t = compute + rounds * (reload + _SEG_LAUNCH_S + comm)
+        if t < best_t:
+            best_k, best_t = k, t
+    return best_k
+
+
 def _exchange_halos(x: jnp.ndarray, k: int, axis_name: str) -> jnp.ndarray:
     """Extend rows (axis 1) of a local block with k rows from each mesh
     neighbor; zero-filled at the ends (global image border)."""
@@ -58,6 +104,10 @@ def _local_cspn(
     segment instead of per step; backward rematerializes through the
     composed form below).  fused=False keeps the composed XLA stencil.
     """
+    if halo is None:  # model-chosen K (choose_halo cost model)
+        halo = choose_halo(
+            steps, guidance.shape[1], guidance.shape[2], guidance.shape[0]
+        )
     # a halo (and the +1 gate halo) can only reach the immediate mesh
     # neighbor, so it is capped by the local block height
     k = max(1, min(halo, guidance.shape[1] - 1))
@@ -118,7 +168,7 @@ def cspn2d_spatial(
     mesh: Mesh,
     steps: int = 24,
     norm_type: str = "8sum",
-    halo: int = 4,
+    halo: int | None = None,
     data_axis: str = "data",
     spatial_axis: str = "spatial",
     fused: bool = True,
@@ -127,7 +177,8 @@ def cspn2d_spatial(
     over `spatial_axis`.  Semantics identical to ops.cspn2d.
 
     Requires N % mesh['data'] == 0 and H % mesh['spatial'] == 0.
-    fused=False keeps the composed-XLA local segments (benchmark reference).
+    halo=None picks K per shard shape from the measured cost model
+    (choose_halo); fused=False keeps the composed-XLA local segments.
     """
     has_sparse = sparse_depth is not None
     spec_g = P(data_axis, spatial_axis, None, None)
@@ -234,6 +285,17 @@ def _local_cspn_nd(
     c = feat.shape[-1]
     offsets = neighbor_offsets(ndim, kernel_size)
     axes = tuple(range(-ndim - 1, -1))
+    if halo is None:  # model-chosen K
+        import math
+
+        halo = choose_halo(
+            steps,
+            feat.shape[1],
+            math.prod(feat.shape[2 : 2 + ndim - 1]),
+            feat.shape[0] * c,
+            n_gate_planes=n_gates,
+            t_step=_T3D_STEP_S_PER_VOX if ndim == 3 else _T2D_STEP_S_PER_PX,
+        )
     k = max(1, min(halo, feat.shape[1] - 1))
 
     g = jnp.abs(guide)
@@ -292,7 +354,7 @@ def cspn_nd_spatial(
     mesh: Mesh,
     kernel_size: int = 3,
     steps: int = 24,
-    halo: int = 4,
+    halo: int | None = None,
     data_axis: str = "data",
     spatial_axis: str = "spatial",
     fused: bool = True,

@@ -131,7 +131,7 @@ class StereoTrainer:
         return mean_loss
 
     def validate(self, epoch: int) -> dict:
-        epes, px3s = [], []
+        sums = {"EPE": [], "3px": [], "D1": []}
         for batch in self.val_loader:
             _, _, m = self.eval_step(
                 self.state,
@@ -139,11 +139,15 @@ class StereoTrainer:
                 jnp.asarray(batch["right"]),
                 jnp.asarray(batch["disp"]),
             )
-            epes.append(m["EPE"])
-            px3s.append(m["3px"])
-        epe = float(jnp.mean(jnp.stack(epes)))
-        px3 = float(jnp.mean(jnp.stack(px3s)))
-        print(f"stereo epoch {epoch}: val EPE {epe:.3f} 3px {px3:.4f}", flush=True)
+            for k in sums:
+                sums[k].append(m[k])
+        epe = float(jnp.mean(jnp.stack(sums["EPE"])))
+        px3 = float(jnp.mean(jnp.stack(sums["3px"])))
+        d1 = float(jnp.mean(jnp.stack(sums["D1"])))
+        print(
+            f"stereo epoch {epoch}: val EPE {epe:.3f} 3px {px3:.4f} D1 {d1:.4f}",
+            flush=True,
+        )
         if epe < self.best_epe:
             self.best_epe = epe
             self.ckpt.save_best(
@@ -154,7 +158,69 @@ class StereoTrainer:
                     "best_epe": np.asarray(self.best_epe),
                 }
             )
-        return {"EPE": epe, "3px": px3}
+        return {"EPE": epe, "3px": px3, "D1": d1}
+
+    def run_eval(
+        self,
+        checkpoint: str = "best_model",
+        dump_images: bool = False,
+        out_dir: Optional[str] = None,
+    ) -> dict:
+        """Standalone stereo eval: restore `checkpoint` from save_dir (if
+        present), compute EPE / >3px / D1 over the val loader, optionally
+        dump %05d_disp.png predictions (KITTI uint16 disparity*256
+        convention) and %05d_gt.png.  Covers the eval half of the stereo
+        capability the reference documents but never released
+        (cspn_paddle/README.md:104-151: --model=stereo)."""
+        if self.ckpt.has(checkpoint):
+            tree = {
+                "params": self.state.params,
+                "batch_stats": self.state.batch_stats,
+                "epoch": np.asarray(0),
+                "best_epe": np.asarray(0.0),
+            }
+            restored = self.ckpt.restore(checkpoint, tree)
+            self.state = self.state.replace(
+                params=restored["params"], batch_stats=restored["batch_stats"]
+            )
+            print(f"==> loaded {checkpoint} from {self.cfg.save_dir}", flush=True)
+        sums = {"EPE": 0.0, "3px": 0.0, "D1": 0.0}
+        total = 0
+        index = 0
+        out_dir = out_dir or f"{self.cfg.save_dir}/eval_result"
+        for batch in self.val_loader:
+            left = jnp.asarray(batch["left"])
+            pred, _, m = self.eval_step(
+                self.state, left, jnp.asarray(batch["right"]),
+                jnp.asarray(batch["disp"]),
+            )
+            bs = left.shape[0]
+            for k in sums:
+                sums[k] += float(m[k]) * bs
+            total += bs
+            if dump_images:
+                import os
+
+                from PIL import Image
+
+                os.makedirs(out_dir, exist_ok=True)
+                pred_np = np.asarray(pred)
+                for j in range(bs):
+                    for tag, img in (
+                        ("disp", pred_np[j]),
+                        ("gt", np.asarray(batch["disp"][j])),
+                    ):
+                        u16 = np.clip(img * 256.0, 0, 65535).astype(np.uint16)
+                        Image.fromarray(u16).save(
+                            f"{out_dir}/{index:05d}_{tag}.png"
+                        )
+                    index += 1
+        mean = {k: sums[k] / max(total, 1) for k in sums}
+        print(
+            "stereo eval: EPE {EPE:.3f}  3px {3px:.4f}  D1 {D1:.4f}".format(**mean),
+            flush=True,
+        )
+        return mean
 
     def fit(self, num_epochs: Optional[int] = None) -> dict:
         num_epochs = num_epochs or self.cfg.num_epochs

@@ -56,15 +56,13 @@ def run_scaling_bench(
     n_dev = len(jax.devices())
     if max_devices is not None:
         n_dev = min(n_dev, max_devices)
+    note = None
     if jax.devices()[0].platform != "tpu":
         import sys
 
-        print(
-            "# NOTE: non-TPU backend -- virtual devices share host cores, so "
-            "efficiency numbers validate mechanics only, not real scaling",
-            file=sys.stderr,
-            flush=True,
-        )
+        note = ("cpu-mesh mechanics only: virtual devices share host cores; "
+                "validates sharding/collectives, NOT a scaling measurement")
+        print(f"# NOTE: {note}", file=sys.stderr, flush=True)
     rng = np.random.default_rng(0)
     records = []
     h, w = hw
@@ -126,6 +124,7 @@ def run_scaling_bench(
                     "model": "PSMNetCSPN",
                     "ms_per_step": round(dt * 1e3, 2),
                     "frames_per_s": round(batch / dt, 1),
+                    **({"note": note} if note else {}),
                 }
             )
             continue
@@ -182,6 +181,7 @@ def run_scaling_bench(
                 "batch": batch,
                 "ms_per_step": round(dt * 1e3, 2),
                 "frames_per_s": round(batch / dt, 1),
+                **({"note": note} if note else {}),
             }
         )
 

@@ -302,3 +302,38 @@ def test_run_scaling_bench_mechanics(mode):
         assert 0 < r["efficiency"] <= 1.5  # virtual mesh: mechanics only
     if mode == "stereo":
         assert records[0]["model"] == "PSMNetCSPN"
+
+
+def test_spatial_autotuned_halo_matches_oracle(mesh24):
+    """halo=None => model-chosen K (choose_halo); output must still match
+    the unsharded oracle exactly (the cost model only picks K, never
+    changes semantics)."""
+    import jax.numpy as jnp
+
+    from cspn_tpu.ops import cspn_ref
+    from cspn_tpu.parallel.halo import choose_halo, cspn2d_spatial, cspn_nd_spatial
+
+    rng = np.random.default_rng(11)
+    n, h, w = 4, 16, 24
+    g = jnp.asarray(rng.standard_normal((n, h, w, 8)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((n, h, w)), jnp.float32)
+    s = jnp.asarray(
+        (rng.random((n, h, w)) < 0.1) * np.abs(rng.standard_normal((n, h, w))),
+        jnp.float32,
+    )
+    out = cspn2d_spatial(g, b, s, mesh=mesh24, steps=6, halo=None)
+    want = cspn_ref.cspn2d_reference(g, b, s, steps=6)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+    # 3D path with halo=None
+    d = 8
+    guide = jnp.asarray(rng.random((4, d, 6, 8, 26)), jnp.float32)
+    feat = jnp.asarray(rng.standard_normal((4, d, 6, 8, 1)), jnp.float32)
+    out3 = cspn_nd_spatial(guide, feat, mesh=mesh24, steps=4, halo=None)
+    want3 = cspn_ref.cspn_nd_reference(guide, feat, steps=4)
+    np.testing.assert_allclose(np.asarray(out3), np.asarray(want3), rtol=1e-4, atol=1e-5)
+
+    # the tuner respects the hard caps and reacts to shard size
+    for steps, ext, px, b_ in [(24, 114, 304, 16), (24, 4, 304, 1), (1, 64, 64, 1)]:
+        k = choose_halo(steps, ext, px, b_)
+        assert 1 <= k <= max(1, min(steps, ext - 1))

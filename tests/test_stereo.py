@@ -199,3 +199,35 @@ def test_stereo_spatial_mesh_matches_unsharded():
     want = jax.jit(plain.apply)(variables, left, right)
     got = jax.jit(sharded.apply)(variables, left, right)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_stereo_eval_driver_and_metrics(tmp_path):
+    """eval-stereo path: D1/3px/EPE keys, checkpoint restore, PNG dumps
+    (KITTI uint16 disp*256 convention)."""
+    from cspn_tpu.data import DataLoader
+    from cspn_tpu.data.datasets import SyntheticStereoDataset
+    from cspn_tpu.parallel.mesh import make_mesh
+    from cspn_tpu.train.stereo_loop import StereoConfig, StereoTrainer
+
+    cfg = StereoConfig(max_disp=8, features=4, cspn_steps=2, num_epochs=1,
+                       batch_size=2, save_dir=str(tmp_path / "ckpt"))
+    ds = SyntheticStereoDataset(length=4, hw=(16, 24), max_disp=8, seed=0)
+    loader = DataLoader(ds, 2)
+    trainer = StereoTrainer(cfg, loader, loader,
+                            mesh=make_mesh(data=2, spatial=1))
+    trainer.fit(1)  # writes best_model
+    out_dir = str(tmp_path / "dumps")
+    mean = trainer.run_eval(dump_images=True, out_dir=out_dir)
+    assert set(mean) == {"EPE", "3px", "D1"}
+    assert 0.0 <= mean["D1"] <= 1.0 and 0.0 <= mean["3px"] <= 1.0
+    assert mean["D1"] <= mean["3px"] + 1e-6  # D1 adds the 5% condition
+    import os
+
+    dumps = sorted(os.listdir(out_dir))
+    assert "00000_disp.png" in dumps and "00000_gt.png" in dumps
+    from PIL import Image
+    import numpy as np
+
+    gt_png = np.asarray(Image.open(os.path.join(out_dir, "00000_gt.png")))
+    assert gt_png.dtype == np.uint16
+    np.testing.assert_allclose(gt_png / 256.0, np.asarray(ds[0]["disp"]), atol=0.01)
