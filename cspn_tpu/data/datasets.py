@@ -258,11 +258,17 @@ class SyntheticStereoDataset:
         hw: tuple[int, int] = (64, 96),
         max_disp: int = 16,
         seed: int = 0,
+        style: str = "smooth",
     ):
         self.length = length
         self.hw = hw
         self.max_disp = max_disp
         self.seed = seed
+        # 'smooth': Gaussian-bump disparity (default, golden-pinned);
+        # 'edges': adds sharp-edged foreground rectangles (depth
+        # discontinuities aligned with image-intensity edges -- the
+        # structure CSPN's edge-aware refinement exploits)
+        self.style = style
 
     def __len__(self):
         return self.length
@@ -281,6 +287,19 @@ class SyntheticStereoDataset:
             ).astype(np.float32)
         disp = np.clip(disp, 1.0, self.max_disp - 1.0)
         left = rng.random((h, w, 3)).astype(np.float32)
+        if self.style == "edges":
+            # sharp-edged foreground objects: constant-disparity rectangles
+            # whose borders are also visible in the RGB (brightness shift)
+            for _ in range(3):
+                y0 = int(rng.uniform(0, h * 0.7)); x0 = int(rng.uniform(0, w * 0.7))
+                y1 = y0 + int(rng.uniform(h * 0.15, h * 0.4))
+                x1 = x0 + int(rng.uniform(w * 0.15, w * 0.4))
+                d_obj = rng.uniform(self.max_disp * 0.5, self.max_disp - 1.0)
+                disp[y0:y1, x0:x1] = d_obj
+                left[y0:y1, x0:x1] *= rng.uniform(0.3, 0.7)
+                left[y0:y1, x0:x1] += rng.uniform(0.1, 0.5)
+            disp = np.clip(disp, 1.0, self.max_disp - 1.0)
+            left = np.clip(left, 0.0, 1.0)
         # smooth the texture a bit so matching is learnable
         left = 0.25 * (
             left

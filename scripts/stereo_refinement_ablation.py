@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--features", type=int, default=16)
     ap.add_argument("--prop-step", type=int, default=12)
     ap.add_argument("--train-size", type=int, default=64)
+    ap.add_argument("--style", default="edges", choices=["smooth", "edges"],
+                    help="synthetic disparity style; 'edges' has the sharp "
+                         "depth discontinuities CSPN refinement exploits")
     ap.add_argument("--out", default="result/stereo_refinement.json")
     args = ap.parse_args()
 
@@ -53,11 +56,11 @@ def main():
         )
         train_ds = SyntheticStereoDataset(
             length=args.train_size, hw=(args.height, args.width),
-            max_disp=cfg.max_disp, seed=0,
+            max_disp=cfg.max_disp, seed=0, style=args.style,
         )
         val_ds = SyntheticStereoDataset(
             length=16, hw=(args.height, args.width), max_disp=cfg.max_disp,
-            seed=1,
+            seed=1, style=args.style,
         )
         trainer = StereoTrainer(
             cfg,
@@ -74,6 +77,7 @@ def main():
                 "cspn_paddle/README.md:104-151)",
         "platform": jax.devices()[0].platform,
         "config": {
+            "style": args.style,
             "hw": [args.height, args.width],
             "max_disp": args.max_disp,
             "features": args.features,
