@@ -917,13 +917,85 @@ def _bwd_kernel_nosparse(guid_ref, blur_ref, ct_ref, dguid_ref, dblur_ref,
                 v_ref, bbar_ref, **kw)
 
 
+def _bwd_kernel_grid(guid_ref, blur_ref, sparse_ref, ct_ref, dguid_ref,
+                     dblur_ref, *scratch, **kw):
+    """Grid-over-images wrapper: block specs carry a leading batch dim of 1."""
+    _bwd_kernel(guid_ref.at[0], blur_ref.at[0],
+                None if sparse_ref is None else sparse_ref.at[0],
+                ct_ref.at[0], dguid_ref.at[0], dblur_ref.at[0], *scratch, **kw)
+
+
+def _bwd_kernel_grid_nosparse(guid_ref, blur_ref, ct_ref, dguid_ref,
+                              dblur_ref, *scratch, **kw):
+    _bwd_kernel_grid(guid_ref, blur_ref, None, ct_ref, dguid_ref, dblur_ref,
+                     *scratch, **kw)
+
+
+def bwd_grid_fits_vmem(h: int, w: int, steps: int) -> bool:
+    """The grid form double-buffers the (8+3) input + 9 output block planes
+    on top of the map form's working set."""
+    hp, wp = h + (-h) % 8, w + (-w) % 128
+    ck = _pick_ckpt(steps)
+    planes = 50 + steps // ck + ck
+    return planes * hp * wp * 4 <= _VMEM_BUDGET_BYTES
+
+
 def _cspn2d_bwd_pallas(guidance_cf, blur_depth, sparse_depth, ct, steps,
                        norm_type, interpret):
-    """Per-image fused backward; batch handled with lax.map."""
+    """Fused backward.
+
+    Default: one grid step per image — Mosaic pipelines the next image's
+    input DMAs under the current image's replay/adjoint compute.  Images
+    whose doubled block buffers exceed VMEM (e.g. 352x1216 KITTI frames)
+    fall back to the sequential lax.map of single-image calls."""
     n, _, h, w = guidance_cf.shape
     use_sparse = sparse_depth is not None
     ckpt_every = _pick_ckpt(steps)
     n_seg = steps // ckpt_every
+    scratch = [
+        pltpu.VMEM((8, h, w), jnp.float32),  # g2
+        pltpu.VMEM((h, w), jnp.float32),  # inv
+        pltpu.VMEM((h, w), jnp.float32),  # gsum
+        pltpu.VMEM((n_seg, h, w), jnp.float32),  # ckpt
+        pltpu.VMEM((ckpt_every, h + 2, w), jnp.float32),  # seg
+        pltpu.VMEM((h + 2, w), jnp.float32),  # xpad
+        pltpu.VMEM((h, w), jnp.float32),  # v
+        pltpu.VMEM((h, w), jnp.float32),  # bbar
+    ]
+    g32 = guidance_cf.astype(jnp.float32)
+    b32 = blur_depth.astype(jnp.float32)
+    c32 = ct.astype(jnp.float32)
+
+    if bwd_grid_fits_vmem(h, w, steps):
+        kernel = functools.partial(
+            _bwd_kernel_grid if use_sparse else _bwd_kernel_grid_nosparse,
+            steps=steps,
+            norm_abs="abs" in norm_type,
+        )
+        img = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        gspec = pl.BlockSpec((1, 8, h, w), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+        if use_sparse:
+            args = (g32, b32, sparse_depth.astype(jnp.float32), c32)
+            in_specs = [gspec, img, img, img]
+        else:
+            args = (g32, b32, c32)
+            in_specs = [gspec, img, img]
+        return pl.pallas_call(
+            kernel,
+            grid=(n,),
+            out_shape=(
+                jax.ShapeDtypeStruct((n, 8, h, w), jnp.float32),
+                jax.ShapeDtypeStruct((n, h, w), jnp.float32),
+            ),
+            in_specs=in_specs,
+            out_specs=(gspec, img),
+            scratch_shapes=scratch,
+            input_output_aliases={0: 0},  # guidance buffer -> gate grads
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES),
+            interpret=interpret,
+        )(*args)
+
     kernel = functools.partial(
         _bwd_kernel if use_sparse else _bwd_kernel_nosparse,
         steps=steps,
@@ -932,12 +1004,7 @@ def _cspn2d_bwd_pallas(guidance_cf, blur_depth, sparse_depth, ct, steps,
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     def one(args):
-        if use_sparse:
-            g, b, s, c = args
-            ins = (g, b, s, c)
-        else:
-            g, b, c = args
-            ins = (g, b, c)
+        ins = args
         return pl.pallas_call(
             kernel,
             out_shape=(
@@ -946,24 +1013,12 @@ def _cspn2d_bwd_pallas(guidance_cf, blur_depth, sparse_depth, ct, steps,
             ),
             in_specs=[vspec] * len(ins),
             out_specs=(vspec, vspec),
-            scratch_shapes=[
-                pltpu.VMEM((8, h, w), jnp.float32),  # g2
-                pltpu.VMEM((h, w), jnp.float32),  # inv
-                pltpu.VMEM((h, w), jnp.float32),  # gsum
-                pltpu.VMEM((n_seg, h, w), jnp.float32),  # ckpt
-                pltpu.VMEM((ckpt_every, h + 2, w), jnp.float32),  # seg
-                pltpu.VMEM((h + 2, w), jnp.float32),  # xpad
-                pltpu.VMEM((h, w), jnp.float32),  # v
-                pltpu.VMEM((h, w), jnp.float32),  # bbar
-            ],
-            input_output_aliases={0: 0},  # guidance buffer -> gate grads
+            scratch_shapes=scratch,
+            input_output_aliases={0: 0},
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES),
             interpret=interpret,
         )(*ins)
 
-    g32 = guidance_cf.astype(jnp.float32)
-    b32 = blur_depth.astype(jnp.float32)
-    c32 = ct.astype(jnp.float32)
     if use_sparse:
         args = (g32, b32, sparse_depth.astype(jnp.float32), c32)
     else:

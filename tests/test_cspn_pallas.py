@@ -158,3 +158,23 @@ def test_tiled_forward_grads_match_oracle(rng, monkeypatch):
     dg_r, db_r = jax.grad(loss_ref, argnums=(0, 1))(g, b)
     np.testing.assert_allclose(np.asarray(dg_t), np.asarray(dg_r), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(db_t), np.asarray(db_r), rtol=1e-4, atol=1e-5)
+
+
+def test_bwd_map_fallback_matches(rng, monkeypatch):
+    """Images whose doubled grid buffers exceed VMEM use the sequential
+    lax.map backward -- grads must match the grid form / oracle."""
+    from cspn_tpu.ops import cspn_pallas
+
+    g, b, s = _inputs(rng, n=2, h=9, w=11)
+    monkeypatch.setattr(cspn_pallas, "bwd_grid_fits_vmem", lambda h, w, st: False)
+
+    def loss_pallas(g, b):
+        return jnp.sum(cspn2d_pallas(g, b, s, steps=4, interpret=True) ** 2)
+
+    def loss_ref(g, b):
+        return jnp.sum(cspn_ref.cspn2d_reference(g, b, s, steps=4) ** 2)
+
+    dg_p, db_p = jax.grad(loss_pallas, argnums=(0, 1))(g, b)
+    dg_r, db_r = jax.grad(loss_ref, argnums=(0, 1))(g, b)
+    np.testing.assert_allclose(np.asarray(dg_p), np.asarray(dg_r), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(db_p), np.asarray(db_r), rtol=1e-4, atol=1e-5)

@@ -253,3 +253,40 @@ def test_torchvision_format_encoder_import(ref_modules):
         x = blk.apply(merged, x)
     out_j = np.transpose(np.asarray(x), (0, 3, 1, 2))
     np.testing.assert_allclose(out_j, out_t, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("norm_type", ["8sum", "8sum_abs"])
+def test_affinity_propagate_grads_match_torch(ref_modules, norm_type):
+    """Gradient parity against torch autograd of the EXECUTED reference op:
+    d(sum out^2)/d(guidance, blur_depth) must agree (the reference trains
+    through the CSPN layer, train.py:195-199, so grads are part of its
+    behavioral contract)."""
+    ref_cspn, _ = ref_modules
+    rng = np.random.default_rng(4)
+    n, h, w = 1, 11, 13
+    guidance = rng.standard_normal((n, 8, h, w)).astype(np.float32)
+    blur = rng.random((n, 1, h, w)).astype(np.float32)
+    sparse = _rand_sparse(rng, (n, 1, h, w))
+
+    g_t = torch.from_numpy(guidance).requires_grad_(True)
+    b_t = torch.from_numpy(blur).requires_grad_(True)
+    ap = ref_cspn.Affinity_Propagate(8, 3, norm_type=norm_type)
+    out_t = ap(g_t, b_t, torch.from_numpy(sparse))
+    (out_t ** 2).sum().backward()
+
+    def loss_j(g, b):
+        out = cspn2d_reference(
+            jnp.moveaxis(g, 1, -1), b[:, 0], jnp.asarray(sparse[:, 0]),
+            steps=8, norm_type=norm_type,
+        )
+        return jnp.sum(out ** 2)
+
+    dg_j, db_j = jax.grad(loss_j, argnums=(0, 1))(
+        jnp.asarray(guidance), jnp.asarray(blur)
+    )
+    np.testing.assert_allclose(
+        np.asarray(dg_j), g_t.grad.numpy(), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(db_j), b_t.grad.numpy(), rtol=1e-4, atol=1e-5
+    )
