@@ -967,34 +967,61 @@ def _cspn2d_bwd_pallas(guidance_cf, blur_depth, sparse_depth, ct, steps,
     c32 = ct.astype(jnp.float32)
 
     if bwd_grid_fits_vmem(h, w, steps):
+        # Mosaic requires blocked slices to be tile-aligned: H to 8 sublanes,
+        # W to 128 lanes (NYU 304 is not).  Zero-pad at the caller — EXACTLY
+        # the reference's zero image border: padded pixels carry zero gates,
+        # so the in-kernel normalization guard (denom > 0 -> inv = 0) keeps
+        # their state/adjoint at zero and interior border pixels read zero
+        # neighbor contributions, as in the unpadded form.
+        hp, wp = h + (-h) % 8, w + (-w) % 128
+        pad3 = ((0, 0), (0, hp - h), (0, wp - w))
+        pad4 = ((0, 0), (0, 0), (0, hp - h), (0, wp - w))
+        gp = jnp.pad(g32, pad4) if (hp, wp) != (h, w) else g32
+        bp = jnp.pad(b32, pad3) if (hp, wp) != (h, w) else b32
+        cp = jnp.pad(c32, pad3) if (hp, wp) != (h, w) else c32
+        scratch_p = [
+            pltpu.VMEM((8, hp, wp), jnp.float32),
+            pltpu.VMEM((hp, wp), jnp.float32),
+            pltpu.VMEM((hp, wp), jnp.float32),
+            pltpu.VMEM((n_seg, hp, wp), jnp.float32),
+            pltpu.VMEM((ckpt_every, hp + 2, wp), jnp.float32),
+            pltpu.VMEM((hp + 2, wp), jnp.float32),
+            pltpu.VMEM((hp, wp), jnp.float32),
+            pltpu.VMEM((hp, wp), jnp.float32),
+        ]
         kernel = functools.partial(
             _bwd_kernel_grid if use_sparse else _bwd_kernel_grid_nosparse,
             steps=steps,
             norm_abs="abs" in norm_type,
         )
-        img = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-        gspec = pl.BlockSpec((1, 8, h, w), lambda i: (i, 0, 0, 0),
+        img = pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        gspec = pl.BlockSpec((1, 8, hp, wp), lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM)
         if use_sparse:
-            args = (g32, b32, sparse_depth.astype(jnp.float32), c32)
+            sp = sparse_depth.astype(jnp.float32)
+            sp = jnp.pad(sp, pad3) if (hp, wp) != (h, w) else sp
+            args = (gp, bp, sp, cp)
             in_specs = [gspec, img, img, img]
         else:
-            args = (g32, b32, c32)
+            args = (gp, bp, cp)
             in_specs = [gspec, img, img]
-        return pl.pallas_call(
+        dg, db = pl.pallas_call(
             kernel,
             grid=(n,),
             out_shape=(
-                jax.ShapeDtypeStruct((n, 8, h, w), jnp.float32),
-                jax.ShapeDtypeStruct((n, h, w), jnp.float32),
+                jax.ShapeDtypeStruct((n, 8, hp, wp), jnp.float32),
+                jax.ShapeDtypeStruct((n, hp, wp), jnp.float32),
             ),
             in_specs=in_specs,
             out_specs=(gspec, img),
-            scratch_shapes=scratch,
+            scratch_shapes=scratch_p,
             input_output_aliases={0: 0},  # guidance buffer -> gate grads
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES),
             interpret=interpret,
         )(*args)
+        if (hp, wp) != (h, w):
+            dg, db = dg[:, :, :h, :w], db[:, :h, :w]
+        return dg, db
 
     kernel = functools.partial(
         _bwd_kernel if use_sparse else _bwd_kernel_nosparse,
