@@ -34,7 +34,8 @@ def _add_common_overrides(p: argparse.ArgumentParser):
     p.add_argument("--cspn-norm-type", default=None, choices=["8sum", "8sum_abs"])
     p.add_argument("--cspn-backend", default=None,
                    choices=["auto", "pallas", "reference"])
-    p.add_argument("--dtype", default=None, choices=["float32", "bfloat16"])
+    p.add_argument("--dtype", default=None,
+                   choices=["float32", "bfloat16", "int8"])
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--momentum", type=float, default=None)
     p.add_argument("--weight-decay", dest="weight_decay", type=float, default=None)

@@ -24,6 +24,7 @@ class ModelConfig:
     cspn_norm_type: str = "8sum"  # '8sum' | '8sum_abs'
     cspn_backend: str = "auto"
     dtype: str = "float32"  # 'float32' | 'bfloat16' (mixed-precision convs)
+    #   | 'int8' (serving-only dynamic quantization of the conv stack)
 
 
 @dataclasses.dataclass

@@ -92,6 +92,7 @@ class SubpixelUnpoolConv(nn.Module):
     oheight: int
     owidth: int
     dtype: object = None
+    quant: bool = False  # dynamic-int8 serving execution (utils/quant.py)
 
     @nn.compact
     def __call__(self, x):
@@ -103,6 +104,15 @@ class SubpixelUnpoolConv(nn.Module):
             (k, k, cin, self.features),
             jnp.float32,
         )
+        pad = (1, 1) if k >= 5 else (0, 1)
+        if self.quant:
+            from cspn_tpu.utils.quant import int8_conv
+
+            # quantize the REINDEXED weights (per phase-expanded output
+            # channel) so dequantization happens before depth-to-space
+            y = int8_conv(x, _subpixel_weights(w, k), (1, 1), (pad, pad),
+                          out_dtype=self.dtype or x.dtype)
+            return depth_to_space2(y, self.oheight, self.owidth)
         if self.dtype is not None:
             # cast BEFORE the reindex: the reindex is pure data movement, so
             # cast-then-move is bit-identical to move-then-cast and halves
@@ -110,7 +120,6 @@ class SubpixelUnpoolConv(nn.Module):
             x = x.astype(self.dtype)
             w = w.astype(self.dtype)
         w2 = _subpixel_weights(w, k)
-        pad = (1, 1) if k >= 5 else (0, 1)
         y = jax.lax.conv_general_dilated(
             x,
             w2,
@@ -139,17 +148,18 @@ class UpProj(nn.Module):
     train: bool = False
     axis_name: str | None = None
     dtype: object = None
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
         oh = self.oheight or 2 * x.shape[1]
         ow = self.owidth or 2 * x.shape[2]
         x = unpool2x(x, oh, ow)
-        out = conv(self.features, 5, dtype=self.dtype, name="conv1")(x)
+        out = conv(self.features, 5, dtype=self.dtype, quant=self.quant, name="conv1")(x)
         out = nn.relu(BatchNorm(not self.train, self.axis_name, self.dtype, name="bn1")(out))
-        out = conv(self.features, 3, dtype=self.dtype, name="conv2")(out)
+        out = conv(self.features, 3, dtype=self.dtype, quant=self.quant, name="conv2")(out)
         out = BatchNorm(not self.train, self.axis_name, self.dtype, name="bn2")(out)
-        sc = conv(self.features, 5, dtype=self.dtype, name="sc_conv1")(x)
+        sc = conv(self.features, 5, dtype=self.dtype, quant=self.quant, name="sc_conv1")(x)
         sc = BatchNorm(not self.train, self.axis_name, self.dtype, name="sc_bn1")(sc)
         return nn.relu(out + sc)
 
@@ -163,21 +173,24 @@ class GudiUpProj(nn.Module):
     train: bool = False
     axis_name: str | None = None
     dtype: object = None
+    quant: bool = False
     subpixel: bool = True  # fused unpool+conv (identical math, ~3x faster)
 
     @nn.compact
     def __call__(self, x):
         if self.subpixel:
             out = SubpixelUnpoolConv(self.features, 5, self.oheight, self.owidth,
-                                     dtype=self.dtype, name="conv1")(x)
+                                     dtype=self.dtype, quant=self.quant,
+                                     name="conv1")(x)
             sc = SubpixelUnpoolConv(self.features, 5, self.oheight, self.owidth,
-                                    dtype=self.dtype, name="sc_conv1")(x)
+                                    dtype=self.dtype, quant=self.quant,
+                                    name="sc_conv1")(x)
         else:
             x = unpool2x(x, self.oheight, self.owidth)
-            out = conv(self.features, 5, dtype=self.dtype, name="conv1")(x)
-            sc = conv(self.features, 5, dtype=self.dtype, name="sc_conv1")(x)
+            out = conv(self.features, 5, dtype=self.dtype, quant=self.quant, name="conv1")(x)
+            sc = conv(self.features, 5, dtype=self.dtype, quant=self.quant, name="sc_conv1")(x)
         out = nn.relu(BatchNorm(not self.train, self.axis_name, self.dtype, name="bn1")(out))
-        out = conv(self.features, 3, dtype=self.dtype, name="conv2")(out)
+        out = conv(self.features, 3, dtype=self.dtype, quant=self.quant, name="conv2")(out)
         out = BatchNorm(not self.train, self.axis_name, self.dtype, name="bn2")(out)
         sc = BatchNorm(not self.train, self.axis_name, self.dtype, name="sc_bn1")(sc)
         return nn.relu(out + sc)
@@ -192,24 +205,27 @@ class GudiUpProjCat(nn.Module):
     train: bool = False
     axis_name: str | None = None
     dtype: object = None
+    quant: bool = False
     subpixel: bool = True
 
     @nn.compact
     def __call__(self, x, side_input):
         if self.subpixel:
             out = SubpixelUnpoolConv(self.features, 5, self.oheight, self.owidth,
-                                     dtype=self.dtype, name="conv1")(x)
+                                     dtype=self.dtype, quant=self.quant,
+                                     name="conv1")(x)
             sc = SubpixelUnpoolConv(self.features, 5, self.oheight, self.owidth,
-                                    dtype=self.dtype, name="sc_conv1")(x)
+                                    dtype=self.dtype, quant=self.quant,
+                                    name="sc_conv1")(x)
         else:
             x = unpool2x(x, self.oheight, self.owidth)
-            out = conv(self.features, 5, dtype=self.dtype, name="conv1")(x)
-            sc = conv(self.features, 5, dtype=self.dtype, name="sc_conv1")(x)
+            out = conv(self.features, 5, dtype=self.dtype, quant=self.quant, name="conv1")(x)
+            sc = conv(self.features, 5, dtype=self.dtype, quant=self.quant, name="sc_conv1")(x)
         out = nn.relu(BatchNorm(not self.train, self.axis_name, self.dtype, name="bn1")(out))
         out = jnp.concatenate([out, side_input], axis=-1)
-        out = conv(self.features, 3, dtype=self.dtype, name="conv1_1")(out)
+        out = conv(self.features, 3, dtype=self.dtype, quant=self.quant, name="conv1_1")(out)
         out = nn.relu(BatchNorm(not self.train, self.axis_name, self.dtype, name="bn1_1")(out))
-        out = conv(self.features, 3, dtype=self.dtype, name="conv2")(out)
+        out = conv(self.features, 3, dtype=self.dtype, quant=self.quant, name="conv2")(out)
         out = BatchNorm(not self.train, self.axis_name, self.dtype, name="bn2")(out)
         sc = BatchNorm(not self.train, self.axis_name, self.dtype, name="sc_bn1")(sc)
         return nn.relu(out + sc)
@@ -227,15 +243,17 @@ class GudiUpConv(nn.Module):
     train: bool = False
     axis_name: str | None = None
     dtype: object = None
+    quant: bool = False
     subpixel: bool = True
 
     @nn.compact
     def __call__(self, x):
         if self.subpixel:
             out = SubpixelUnpoolConv(self.features, 5, self.oheight, self.owidth,
-                                     dtype=self.dtype, name="conv1")(x)
+                                     dtype=self.dtype, quant=self.quant,
+                                     name="conv1")(x)
         else:
-            out = conv(self.features, 5, dtype=self.dtype, name="conv1")(
+            out = conv(self.features, 5, dtype=self.dtype, quant=self.quant, name="conv1")(
                 unpool2x(x, self.oheight, self.owidth)
             )
         out = BatchNorm(not self.train, self.axis_name, self.dtype, name="bn1")(out)
@@ -257,4 +275,4 @@ class GudiUpConvLast(nn.Module):
             return SubpixelUnpoolConv(self.features, 3, self.oheight, self.owidth,
                                       dtype=self.dtype, name="conv1")(x)
         x = unpool2x(x, self.oheight, self.owidth)
-        return conv(self.features, 3, dtype=self.dtype, name="conv1")(x)
+        return conv(self.features, 3, dtype=self.dtype, quant=self.quant, name="conv1")(x)

@@ -44,10 +44,16 @@ class BatchNorm(nn.Module):
 
 
 def conv(features: int, kernel: int, stride: int = 1, name: str | None = None,
-         dtype=None):
+         dtype=None, quant: bool = False):
     """Bias-free conv with torch-style symmetric padding.
 
-    `dtype=jnp.bfloat16` runs the MXU in bf16 (params stay float32)."""
+    `dtype=jnp.bfloat16` runs the MXU in bf16 (params stay float32).
+    `quant=True` runs dynamic-int8 serving quantization (utils/quant.py) —
+    same 'kernel' parameter, s8 x s8 -> s32 execution on the MXU."""
+    if quant:
+        from cspn_tpu.utils.quant import QuantConv
+
+        return QuantConv(features, kernel, stride, dtype=dtype, name=name)
     pad = (kernel - 1) // 2
     return nn.Conv(
         features,
@@ -68,18 +74,19 @@ class BasicBlock(nn.Module):
     train: bool = False
     axis_name: str | None = None
     dtype: object = None
+    quant: bool = False
     expansion: int = 1
 
     @nn.compact
     def __call__(self, x):
         residual = x
-        out = conv(self.planes, 3, self.stride, name="conv1", dtype=self.dtype)(x)
+        out = conv(self.planes, 3, self.stride, name="conv1", dtype=self.dtype, quant=self.quant)(x)
         out = BatchNorm(not self.train, self.axis_name, self.dtype, name="bn1")(out)
         out = nn.relu(out)
-        out = conv(self.planes, 3, name="conv2", dtype=self.dtype)(out)
+        out = conv(self.planes, 3, name="conv2", dtype=self.dtype, quant=self.quant)(out)
         out = BatchNorm(not self.train, self.axis_name, self.dtype, name="bn2")(out)
         if self.downsample:
-            residual = conv(self.planes, 1, self.stride, name="ds_conv", dtype=self.dtype)(x)
+            residual = conv(self.planes, 1, self.stride, name="ds_conv", dtype=self.dtype, quant=self.quant)(x)
             residual = BatchNorm(not self.train, self.axis_name, self.dtype, name="ds_bn")(residual)
         return nn.relu(out + residual)
 
@@ -91,21 +98,22 @@ class Bottleneck(nn.Module):
     train: bool = False
     axis_name: str | None = None
     dtype: object = None
+    quant: bool = False
     expansion: int = 4
 
     @nn.compact
     def __call__(self, x):
         residual = x
-        out = conv(self.planes, 1, name="conv1", dtype=self.dtype)(x)
+        out = conv(self.planes, 1, name="conv1", dtype=self.dtype, quant=self.quant)(x)
         out = BatchNorm(not self.train, self.axis_name, self.dtype, name="bn1")(out)
         out = nn.relu(out)
-        out = conv(self.planes, 3, self.stride, name="conv2", dtype=self.dtype)(out)
+        out = conv(self.planes, 3, self.stride, name="conv2", dtype=self.dtype, quant=self.quant)(out)
         out = BatchNorm(not self.train, self.axis_name, self.dtype, name="bn2")(out)
         out = nn.relu(out)
-        out = conv(self.planes * 4, 1, name="conv3", dtype=self.dtype)(out)
+        out = conv(self.planes * 4, 1, name="conv3", dtype=self.dtype, quant=self.quant)(out)
         out = BatchNorm(not self.train, self.axis_name, self.dtype, name="bn3")(out)
         if self.downsample:
-            residual = conv(self.planes * 4, 1, self.stride, name="ds_conv", dtype=self.dtype)(x)
+            residual = conv(self.planes * 4, 1, self.stride, name="ds_conv", dtype=self.dtype, quant=self.quant)(x)
             residual = BatchNorm(not self.train, self.axis_name, self.dtype, name="ds_bn")(residual)
         return nn.relu(out + residual)
 
@@ -184,6 +192,9 @@ class ResNetEncoder(nn.Module):
     train: bool = False
     axis_name: str | None = None
     dtype: object = None
+    # dynamic-int8 serving quantization for the block convs (the stem stays
+    # high-precision, standard PTQ practice); see utils/quant.py
+    quant: bool = False
     # compute the 7x7/s2 stem as a 4x4/s1 conv on a space-to-depth-packed
     # input (identical math, parameter-compatible; large-spatial conv passes
     # are the TPU bottleneck at these shapes).  Requires even H, W.
@@ -235,6 +246,7 @@ class ResNetEncoder(nn.Module):
                     train=self.train,
                     axis_name=self.axis_name,
                     dtype=self.dtype,
+                    quant=self.quant,
                     name=f"layer{stage + 1}_{b}",
                 )(x)
                 inplanes = planes * self.expansion
@@ -244,6 +256,6 @@ class ResNetEncoder(nn.Module):
                 skips["skip2"] = x
 
         # trailing conv2+bn2, no ReLU (reference :297-299, :366)
-        x = conv(512 * self.expansion, 3, name="conv2", dtype=self.dtype)(x)
+        x = conv(512 * self.expansion, 3, name="conv2", dtype=self.dtype, quant=self.quant)(x)
         x = BatchNorm(not self.train, self.axis_name, self.dtype, name="bn2")(x)
         return x, skips

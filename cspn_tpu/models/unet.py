@@ -54,6 +54,11 @@ class CSPNUNet(nn.Module):
     # mixed precision: compute dtype for the conv net (e.g. jnp.bfloat16);
     # params stay float32 and the CSPN post-process always runs in float32
     dtype: Any = None
+    # dynamic-int8 serving quantization of the encoder blocks + decoder
+    # body (stem and the depth/guidance heads stay high-precision, and the
+    # CSPN post-process stays f32).  Serving-only: round() has zero
+    # gradient.  Params are unchanged -- any checkpoint serves quantized.
+    quant: bool = False
     # fused sub-pixel unpool+conv decoder (identical math; False = the naive
     # unpool-then-conv composition, kept as the translation baseline)
     subpixel: bool = True
@@ -66,6 +71,7 @@ class CSPNUNet(nn.Module):
         sizes = ceil_half_chain(h, w, 5)
         e = 4 if self.block == "bottleneck" else 1
 
+        assert not (self.quant and self.train), "int8 quantization is serving-only"
         if self.dtype is not None:
             x = x.astype(self.dtype)
         feats, skips = ResNetEncoder(
@@ -74,11 +80,12 @@ class CSPNUNet(nn.Module):
             train=self.train,
             axis_name=self.axis_name,
             dtype=self.dtype,
+            quant=self.quant,
             name="encoder",
         )(x)
 
         kw = dict(train=self.train, axis_name=self.axis_name, dtype=self.dtype,
-                  subpixel=self.subpixel)
+                  quant=self.quant, subpixel=self.subpixel)
         d = GudiUpProj(256 * e, *sizes[4], **kw, name="gud_up_proj_layer1")(feats)
         d = GudiUpProjCat(128 * e, *sizes[3], **kw, name="gud_up_proj_layer2")(
             d, skips["skip2"]

@@ -62,7 +62,7 @@ def load_eval_state(
         print(f"==> loaded {checkpoint} from {cfg.best_model_dir}")
     else:
         print(f"==> WARNING: no {checkpoint} in {cfg.best_model_dir}; random params")
-    if cfg.model.dtype == "bfloat16":
+    if cfg.model.dtype in ("bfloat16", "int8"):
         # serving precision: bf16-resident weights halve the decoder's ~1 GB
         # of per-batch parameter HBM traffic (utils/precision.py); training
         # checkpoints keep f32 masters, the cast happens at load time

@@ -40,7 +40,12 @@ from cspn_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 
 def build_model(cfg: RunConfig, train: bool):
     block, layers = unet_lib._LAYERS[int(cfg.model.arch.replace("resnet", ""))]
-    dtype = jnp.bfloat16 if cfg.model.dtype in ("bfloat16", "bf16") else None
+    dtype = None
+    if cfg.model.dtype in ("bfloat16", "bf16", "int8"):
+        dtype = jnp.bfloat16  # int8 serving dequantizes into bf16
+    # 'int8' is serving-only (round() has zero gradient): train steps --
+    # including the train=True model used to init eval state -- stay bf16
+    quant = cfg.model.dtype == "int8" and not train
     return unet_lib.CSPNUNet(
         block=block,
         layers=layers,
@@ -50,6 +55,7 @@ def build_model(cfg: RunConfig, train: bool):
         train=train,
         cspn_backend=cfg.model.cspn_backend,
         dtype=dtype,
+        quant=quant,
     )
 
 

@@ -1,0 +1,107 @@
+"""int8 serving quantization for the conv stack.
+
+TPU-native serving lever with no reference analog: the v5e MXU runs int8
+matmuls/convs at 2x the bf16 rate (394 vs 197 TOPS), and the big decoder
+convs are compute-bound at eval (README: layer1's 774-GFLOP conv runs at the
+bf16 MXU roofline).  Quantizing those convs to s8 x s8 -> s32 halves their
+compute time bound.
+
+Scheme (standard post-training dynamic quantization):
+  - weights: symmetric per-output-channel int8, scale = max|w| / 127 over
+    (kh, kw, cin);
+  - activations: symmetric per-tensor *dynamic* int8 (abs-max of the batch
+    tensor, computed on device each call — no calibration data needed);
+  - conv accumulates in int32 (exact), dequantized as y * (x_scale * w_scale)
+    with the per-channel weight scale broadcast over the channel dim.
+
+Parameters are untouched: `QuantConv` declares the same float 'kernel'
+(name, shape, init) as the `nn.Conv` it replaces and quantizes on the fly
+at trace time, so checkpoints/state dicts are fully interchangeable with
+the bf16/f32 model variants and the torch importer.  First/last layers
+(stem, depth/guidance heads) and the CSPN propagation stay high-precision,
+per usual PTQ practice — see models/unet.py.
+
+Serving-only: `round` has zero gradient, so the quant path guards against
+being used for training (models pass quant=False when train=True).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def quantize_tensor(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric dynamic int8, per leading (batch) axis when x is 4D NHWC:
+    returns (q, scale) with x ~= q * scale.  Per-sample scales cost nothing
+    extra (the abs-max reduce runs anyway) and keep one bright image from
+    crushing the rest of the batch's resolution."""
+    if x.ndim == 4:
+        scale = jnp.max(jnp.abs(x), axis=(1, 2, 3), keepdims=True)
+    else:
+        scale = jnp.max(jnp.abs(x))
+    scale = jnp.maximum(scale, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+def quantize_weights(w: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-output-channel int8 for an HWIO kernel.
+
+    Returns (q, scale[cout]) with w ~= q * scale (broadcast over cout)."""
+    amax = jnp.max(jnp.abs(w), axis=tuple(range(w.ndim - 1)))
+    scale = jnp.where(amax > 0, amax, 1.0) / 127.0
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+def int8_conv(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    strides: tuple[int, int],
+    padding,
+    out_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Dynamic-int8 NHWC conv: quantize x (per tensor) and w (per cout),
+    s8 x s8 -> s32 on the MXU, dequantize to `out_dtype`."""
+    xq, xs = quantize_tensor(x)
+    wq, ws = quantize_weights(w)
+    y = lax.conv_general_dilated(
+        xq,
+        wq,
+        window_strides=strides,
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    return (y.astype(jnp.float32) * (xs * ws)).astype(out_dtype)
+
+
+class QuantConv(nn.Module):
+    """Drop-in replacement for the models' bias-free `nn.Conv`: identical
+    parameter ('kernel', HWIO, float32, he_normal), int8 execution."""
+
+    features: int
+    kernel: int
+    stride: int = 1
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel
+        w = self.param(
+            "kernel",
+            nn.initializers.he_normal(),
+            (k, k, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        pad = (k - 1) // 2
+        return int8_conv(
+            x,
+            w,
+            (self.stride, self.stride),
+            ((pad, pad), (pad, pad)),
+            out_dtype=self.dtype or x.dtype,
+        )

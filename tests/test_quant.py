@@ -1,0 +1,99 @@
+"""int8 serving quantization (utils/quant.py).
+
+The quant path is a TPU serving lever (v5e MXU int8 = 2x bf16); correctness
+contract: parameter trees are IDENTICAL to the float model (any checkpoint
+serves quantized) and outputs track the float model to quantization
+tolerance."""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cspn_tpu.models.unet import cspn_unet_resnet18
+from cspn_tpu.utils.quant import QuantConv, int8_conv, quantize_tensor, quantize_weights
+
+
+def test_int8_conv_exact_on_integer_inputs(rng):
+    # integer-valued f32 inputs within int8 range quantize losslessly
+    # (scale from abs-max 127 -> 1.0), so the s32 accumulation is exact
+    x = rng.integers(-127, 128, (2, 10, 12, 8)).astype(np.float32)
+    w = rng.integers(-127, 128, (3, 3, 8, 16)).astype(np.float32)
+    x[0, 0, 0, 0] = 127.0  # pin the per-tensor activation scale to 127/127
+    w[0, 0, 0, :] = 127.0  # ...and every per-output-channel weight scale
+    y = int8_conv(jnp.asarray(x), jnp.asarray(w), (1, 1), ((1, 1), (1, 1)))
+    ref = jax.lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(w), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-6)
+
+
+def test_quantize_roundtrip_tolerance(rng):
+    x = rng.standard_normal((4, 8, 8, 32)).astype(np.float32)
+    q, s = quantize_tensor(jnp.asarray(x))
+    s = np.asarray(s)
+    assert q.dtype == jnp.int8 and s.shape == (4, 1, 1, 1)  # per-sample
+    np.testing.assert_allclose(np.asarray(q, np.float32) * s, x,
+                               atol=float(s.max()) * 0.5 + 1e-9)
+    w = rng.standard_normal((3, 3, 16, 24)).astype(np.float32)
+    wq, ws = quantize_weights(jnp.asarray(w))
+    assert wq.shape == w.shape and ws.shape == (24,)
+    np.testing.assert_allclose(
+        np.asarray(wq, np.float32) * np.asarray(ws), w,
+        atol=float(np.max(np.asarray(ws))) * 0.5 + 1e-9,
+    )
+
+
+def test_quantconv_param_compatible_and_close(rng):
+    x = jnp.asarray(rng.standard_normal((2, 12, 16, 8)).astype(np.float32))
+    ref = nn.Conv(16, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+                  kernel_init=nn.initializers.he_normal())
+    qc = QuantConv(16, 3)
+    vars_ref = ref.init(jax.random.PRNGKey(0), x)
+    vars_q = qc.init(jax.random.PRNGKey(0), x)
+    # identical parameter structure AND identical init values (same
+    # initializer, shape, dtype) => checkpoints are interchangeable
+    assert jax.tree_util.tree_structure(vars_ref) == jax.tree_util.tree_structure(vars_q)
+    np.testing.assert_array_equal(
+        np.asarray(vars_ref["params"]["kernel"]), np.asarray(vars_q["params"]["kernel"])
+    )
+    y_ref = np.asarray(ref.apply(vars_ref, x))
+    y_q = np.asarray(qc.apply(vars_ref, x))  # float checkpoint, int8 serve
+    rel = np.linalg.norm(y_q - y_ref) / np.linalg.norm(y_ref)
+    assert rel < 0.02, rel
+
+
+def test_full_model_int8_close_to_float(rng):
+    x = jnp.asarray(rng.standard_normal((1, 64, 96, 4)).astype(np.float32))
+    f32 = cspn_unet_resnet18(cspn_steps=4, cspn_backend="reference")
+    q = cspn_unet_resnet18(cspn_steps=4, cspn_backend="reference", quant=True)
+    variables = f32.init(jax.random.PRNGKey(0), x)
+    # same param tree: the float init serves the quantized model directly
+    out_f = np.asarray(f32.apply(variables, x))
+    out_q = np.asarray(q.apply(variables, x))
+    assert np.isfinite(out_q).all()
+    # random-init compounds the per-layer quantization noise through every
+    # block with no BN calibration; ~5% here.  The serving-quality gate is
+    # metric deltas on a trained model: result/int8_eval.json (TPU artifact)
+    rel = np.linalg.norm(out_q - out_f) / max(np.linalg.norm(out_f), 1e-9)
+    assert rel < 0.08, rel
+
+
+def test_quant_is_serving_only(rng):
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 4)).astype(np.float32))
+    m = cspn_unet_resnet18(cspn_steps=2, train=True, quant=True)
+    with pytest.raises(AssertionError, match="serving-only"):
+        m.init(jax.random.PRNGKey(0), x)
+
+
+def test_build_model_int8_plumbing():
+    from cspn_tpu.config import RunConfig, ModelConfig
+    from cspn_tpu.train.loop import build_model
+
+    cfg = RunConfig(model=ModelConfig(arch="resnet18", dtype="int8"))
+    m_eval = build_model(cfg, train=False)
+    assert m_eval.quant and m_eval.dtype == jnp.bfloat16
+    m_train = build_model(cfg, train=True)  # init/train path stays float
+    assert not m_train.quant
