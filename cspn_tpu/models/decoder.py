@@ -275,4 +275,5 @@ class GudiUpConvLast(nn.Module):
             return SubpixelUnpoolConv(self.features, 3, self.oheight, self.owidth,
                                       dtype=self.dtype, name="conv1")(x)
         x = unpool2x(x, self.oheight, self.owidth)
-        return conv(self.features, 3, dtype=self.dtype, quant=self.quant, name="conv1")(x)
+        # head convs stay unquantized by design (no quant field here)
+        return conv(self.features, 3, dtype=self.dtype, name="conv1")(x)
