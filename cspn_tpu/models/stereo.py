@@ -156,12 +156,16 @@ class _Kernel3d(nn.Module):
     keep checkpoint-compatible per-head parameters."""
 
     shape: tuple
+    zero_init: bool = False
 
     @nn.compact
     def __call__(self):
-        return self.param(
-            "kernel", nn.initializers.lecun_normal(), self.shape, jnp.float32
+        init = (
+            nn.initializers.zeros_init()
+            if self.zero_init
+            else nn.initializers.lecun_normal()
         )
+        return self.param("kernel", init, self.shape, jnp.float32)
 
 
 class Conv3d(nn.Module):
@@ -249,6 +253,13 @@ class PSMNetCSPN(nn.Module):
     # halo exchange over ICI (parallel/halo.py, BASELINE config 5)
     spatial_mesh: object = None
     spatial_halo: object = None  # None = cost-model-chosen K
+    # zero-init the 26-gate guidance head: zero gates make the propagation
+    # an EXACT identity (out = (1 - sum w) x + sum w x_nb with w = 0), so a
+    # fresh refinement head starts as a no-op on whatever base it is added
+    # to (the reference's staged --loadmodel fine-tune protocol) instead of
+    # randomly smoothing the cost volume; gradients still flow into the
+    # head because d out / d w_d = x_nb - x != 0
+    guidance_zero_init: bool = True
 
     @nn.compact
     def __call__(self, left, right):
@@ -276,7 +287,8 @@ class PSMNetCSPN(nn.Module):
         cin = cost.shape[-1]
         wk = _Kernel3d((3, 3, 3, cin, 1), name="cost_head")()
         if self.use_cspn:
-            wg = _Kernel3d((3, 3, 3, cin, 26), name="guidance3d_head")()
+            wg = _Kernel3d((3, 3, 3, cin, 26), zero_init=self.guidance_zero_init,
+                           name="guidance3d_head")()
             wk = jnp.concatenate([wk, wg], axis=-1)
         costf = cost.reshape(n * num_disp4, *cost.shape[2:])
         if self.dtype is not None:

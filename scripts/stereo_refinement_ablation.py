@@ -1,14 +1,18 @@
 """Stereo CSPN-refinement ablation: does 3D CSPN improve EPE / D1?
 
-Trains the PSMNet stereo model twice on the same synthetic data and seeds —
-once with the 3D-CSPN cost-volume refinement, once without — and records
-final val EPE / >3px / D1 for both.  This demonstrates, with a committed
-artifact, the accuracy value of the refinement capability the reference
-documents but never released (cspn_paddle/README.md:104-151,
---stereoType=cspn vs psmnet).
+Follows the reference's staged protocol (cspn_paddle/README.md:104-151
+loads a pretrained PSMNet via --loadmodel and adds --stereoType=cspn on
+top): train a shared PSMNet base WITHOUT refinement, then fine-tune two
+arms from the same base weights — one with the 3D-CSPN cost-volume
+refinement, one without — on the same data/seeds/epochs, and record final
+val EPE / >3px / D1 for both.  Training both arms from scratch is NOT the
+reference protocol and measures guidance-head warm-up, not refinement
+value (an earlier from-scratch version of this script measured exactly
+that: neutral-to-negative).
 
-Usage:  timeout 1200 python scripts/stereo_refinement_ablation.py \
-            [--epochs 8] [--out result/stereo_refinement.json]
+Usage:  timeout 2400 python scripts/stereo_refinement_ablation.py \
+            [--pretrain-epochs 8] [--finetune-epochs 8] [--cpu] \
+            [--out result/stereo_refinement.json]
 """
 
 from __future__ import annotations
@@ -23,7 +27,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--pretrain-epochs", type=int, default=8)
+    ap.add_argument("--finetune-epochs", type=int, default=8)
     ap.add_argument("--height", type=int, default=64)
     ap.add_argument("--width", type=int, default=96)
     ap.add_argument("--max-disp", type=int, default=32)
@@ -34,25 +39,32 @@ def main():
                     help="synthetic disparity style; 'edges' has the sharp "
                          "depth discontinuities CSPN refinement exploits")
     ap.add_argument("--out", default="result/stereo_refinement.json")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the ambient JAX_PLATFORMS "
+                         "env var overrides a prefixed one, so use this flag)")
     args = ap.parse_args()
 
     import jax
 
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
     from cspn_tpu.data import DataLoader
     from cspn_tpu.data.datasets import SyntheticStereoDataset
+    from cspn_tpu.train.state import partial_restore
     from cspn_tpu.train.stereo_loop import StereoConfig, StereoTrainer
 
-    results = {}
-    for use_cspn in (False, True):
-        tag = "cspn" if use_cspn else "no_cspn"
+    def make_trainer(use_cspn: bool, tag: str) -> StereoTrainer:
         cfg = StereoConfig(
             max_disp=args.max_disp,
             features=args.features,
             cspn_steps=args.prop_step,
             use_cspn=use_cspn,
-            num_epochs=args.epochs,
+            num_epochs=args.pretrain_epochs,
             batch_size=4,
-            save_dir=f"/tmp/stereo_ablation_{tag}",
+            # unique per output file so parallel ablation runs don't race
+            save_dir=f"/tmp/stereo_ablation_"
+                     f"{os.path.basename(args.out).split('.')[0]}_{tag}",
         )
         train_ds = SyntheticStereoDataset(
             length=args.train_size, hw=(args.height, args.width),
@@ -62,19 +74,44 @@ def main():
             length=16, hw=(args.height, args.width), max_disp=cfg.max_disp,
             seed=1, style=args.style,
         )
-        trainer = StereoTrainer(
+        return StereoTrainer(
             cfg,
             DataLoader(train_ds, cfg.batch_size, shuffle=True, drop_last=True),
             DataLoader(val_ds, cfg.batch_size),
         )
-        final = trainer.fit()
-        results[tag] = {k: round(v, 4) for k, v in final.items()}
-        print(f"{tag}: {results[tag]}", flush=True)
+
+    # stage 1: shared PSMNet base, no refinement
+    base = make_trainer(False, "base")
+    base.fit(args.pretrain_epochs)
+    # host copies BEFORE continuing (train_step donates the state buffers)
+    base_params = jax.device_get(base.state.params)
+    base_stats = jax.device_get(base.state.batch_stats)
+
+    results = {}
+    # arm A: keep training the base without refinement
+    results["no_cspn"] = {
+        k: round(v, 4)
+        for k, v in base.fit(args.pretrain_epochs + args.finetune_epochs).items()
+    }
+    print(f"no_cspn: {results['no_cspn']}", flush=True)
+
+    # arm B: fine-tune WITH 3D-CSPN refinement from the same base weights
+    # (the fresh guidance3d_head params stay at their random init, exactly
+    # like the reference's --loadmodel partial load)
+    cspn = make_trainer(True, "cspn")
+    cspn.state = cspn.state.replace(
+        params=partial_restore(cspn.state.params, base_params, verbose=True),
+        batch_stats=partial_restore(cspn.state.batch_stats, base_stats),
+    )
+    results["cspn"] = {
+        k: round(v, 4) for k, v in cspn.fit(args.finetune_epochs).items()
+    }
+    print(f"cspn: {results['cspn']}", flush=True)
 
     rec = {
-        "what": "PSMNet stereo with vs without 3D-CSPN cost-volume refinement "
-                "(same synthetic data/seeds/epochs; capability artifact for "
-                "cspn_paddle/README.md:104-151)",
+        "what": "PSMNet stereo: fine-tune +-3D-CSPN cost-volume refinement "
+                "from a shared pretrained base (reference staged protocol, "
+                "cspn_paddle/README.md:104-151 --loadmodel + --stereoType)",
         "platform": jax.devices()[0].platform,
         "config": {
             "style": args.style,
@@ -82,7 +119,8 @@ def main():
             "max_disp": args.max_disp,
             "features": args.features,
             "cspn_steps": args.prop_step,
-            "epochs": args.epochs,
+            "pretrain_epochs": args.pretrain_epochs,
+            "finetune_epochs": args.finetune_epochs,
             "train_frames": args.train_size,
         },
         "no_cspn": results["no_cspn"],

@@ -57,6 +57,22 @@ def test_stereo_model_forward(rng, use_cspn):
     assert (d >= 0).all() and (d <= 15.0 + 1e-4).all()  # convex comb of 0..D-1
 
 
+def test_zero_init_guidance_is_identity_refinement(rng):
+    """With the default zero-init guidance head the 3D CSPN refinement is an
+    EXACT identity at init, so adding refinement to a pretrained base starts
+    as a no-op (the reference's staged --loadmodel fine-tune protocol): the
+    use_cspn model must reproduce the no-CSPN model bit-for-bit (the shared
+    params get identical per-path init RNG)."""
+    left = jnp.asarray(rng.standard_normal((1, 32, 48, 3), dtype=np.float32))
+    right = jnp.asarray(rng.standard_normal((1, 32, 48, 3), dtype=np.float32))
+    kw = dict(max_disp=16, features=8, cspn_steps=4, train=False)
+    base = PSMNetCSPN(**kw, use_cspn=False)
+    cspn = PSMNetCSPN(**kw, use_cspn=True)  # guidance_zero_init defaults True
+    d_base = base.apply(base.init(jax.random.PRNGKey(0), left, right), left, right)
+    d_cspn = cspn.apply(cspn.init(jax.random.PRNGKey(0), left, right), left, right)
+    np.testing.assert_array_equal(np.asarray(d_base), np.asarray(d_cspn))
+
+
 @pytest.mark.parametrize("stride,d", [(1, 6), (2, 6), (2, 5), (1, 1), (2, 1)])
 def test_conv3d_batched2d_matches_native(rng, stride, d):
     """The flattened batched-2D formulation (kd taps folded into output
@@ -187,7 +203,9 @@ def test_stereo_spatial_mesh_matches_unsharded():
     from cspn_tpu.parallel import make_mesh
 
     mesh = make_mesh(data=2, spatial=4)
-    kw = dict(max_disp=32, features=4, cspn_steps=3)
+    # random (non-zero) guidance: zero-init gates would make the CSPN an
+    # identity and this equivalence check vacuous
+    kw = dict(max_disp=32, features=4, cspn_steps=3, guidance_zero_init=False)
     plain = PSMNetCSPN(**kw)
     sharded = PSMNetCSPN(**kw, spatial_mesh=mesh, spatial_halo=2)
 
