@@ -21,9 +21,43 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from cspn_tpu.models.decoder import GudiUpConvLast, GudiUpProj, GudiUpProjCat
+from cspn_tpu.models.decoder import (
+    GudiUpConvLast,
+    GudiUpProj,
+    GudiUpProjCat,
+    _subpixel_weights,
+)
 from cspn_tpu.models.resnet import ResNetEncoder
 from cspn_tpu.ops.cspn import cspn2d
+from cspn_tpu.ops.d2s_pallas import depth_to_space2
+
+
+class _BareKernel(nn.Module):
+    """Parameter holder: a conv kernel at this module's tree path (init
+    matches SubpixelUnpoolConv: 'kernel', he_normal, f32), so the fused
+    multi-head conv keeps checkpoint-compatible per-head parameters."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", nn.initializers.he_normal(), self.shape, jnp.float32
+        )
+
+
+class _HeadKernel(nn.Module):
+    """Scope shim reproducing GudiUpConvLast's param path <name>/conv1/kernel."""
+
+    features: int
+    kernel: int
+    cin: int
+
+    @nn.compact
+    def __call__(self):
+        return _BareKernel(
+            (self.kernel, self.kernel, self.cin, self.features), name="conv1"
+        )()
 
 
 def ceil_half_chain(h: int, w: int, n: int = 5) -> list[tuple[int, int]]:
@@ -62,6 +96,13 @@ class CSPNUNet(nn.Module):
     # fused sub-pixel unpool+conv decoder (identical math; False = the naive
     # unpool-then-conv composition, kept as the translation baseline)
     subpixel: bool = True
+    # run the depth head (1 ch) and affinity head (8 ch) as ONE fused
+    # 9-channel subpixel conv: each tiny output-channel count pads to full
+    # 128 lanes on TPU, so two separate head convs cost two full conv
+    # passes for ~nothing (same trick measured 4.4+7.7 ms -> one pass on
+    # the stereo heads, models/stereo.py).  Identical math and parameter
+    # paths; engaged only on the subpixel+CSPN path.
+    fuse_heads: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -96,16 +137,43 @@ class CSPNUNet(nn.Module):
         d = GudiUpProjCat(64, *sizes[1], **kw, name="gud_up_proj_layer4")(
             d, skips["skip4"]
         )
-        blur_depth = GudiUpConvLast(
-            1, *sizes[0], dtype=self.dtype, subpixel=self.subpixel,
-            name="gud_up_proj_layer5",
-        )(d)[..., 0].astype(jnp.float32)
-        if not self.use_cspn:
-            return blur_depth
-        guidance = GudiUpConvLast(
-            8, *sizes[0], dtype=self.dtype, subpixel=self.subpixel,
-            name="gud_up_proj_layer6",
-        )(d).astype(jnp.float32)
+        if self.use_cspn and self.subpixel and self.fuse_heads:
+            # one 9-channel subpixel head conv; channel 0 = depth, 1..8 =
+            # affinity.  Per-output-channel conv math is identical to the
+            # two separate SubpixelUnpoolConv heads (same weights at the
+            # same tree paths, concatenated along cout before the reindex).
+            cin = d.shape[-1]
+            w5 = _HeadKernel(1, 3, cin, name="gud_up_proj_layer5")()
+            w6 = _HeadKernel(8, 3, cin, name="gud_up_proj_layer6")()
+            wc = jnp.concatenate([w5, w6], axis=-1)
+            xh = d
+            if self.dtype is not None:
+                # cast BEFORE the reindex (decoder.py:SubpixelUnpoolConv)
+                xh = xh.astype(self.dtype)
+                wc = wc.astype(self.dtype)
+            import jax as _jax
+
+            y = _jax.lax.conv_general_dilated(
+                xh,
+                _subpixel_weights(wc, 3),
+                window_strides=(1, 1),
+                padding=((0, 1), (0, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            heads = depth_to_space2(y, *sizes[0])
+            blur_depth = heads[..., 0].astype(jnp.float32)
+            guidance = heads[..., 1:].astype(jnp.float32)
+        else:
+            blur_depth = GudiUpConvLast(
+                1, *sizes[0], dtype=self.dtype, subpixel=self.subpixel,
+                name="gud_up_proj_layer5",
+            )(d)[..., 0].astype(jnp.float32)
+            if not self.use_cspn:
+                return blur_depth
+            guidance = GudiUpConvLast(
+                8, *sizes[0], dtype=self.dtype, subpixel=self.subpixel,
+                name="gud_up_proj_layer6",
+            )(d).astype(jnp.float32)
         if self.spatial_mesh is not None:
             from cspn_tpu.parallel.halo import cspn2d_spatial
 

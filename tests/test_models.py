@@ -127,3 +127,26 @@ def test_gudi_up_conv_block_subpixel_equivalence():
     b = fused.apply(v, x)
     assert a.shape == (2, 15, 19, 12)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+
+def test_fused_heads_match_separate(rng):
+    """The fused 9-channel head conv must reproduce the separate depth +
+    affinity heads exactly (same params at the same tree paths)."""
+    from cspn_tpu.models.unet import CSPNUNet
+
+    x = jnp.asarray(rng.standard_normal((1, 32, 48, 4)).astype(np.float32))
+    kw = dict(block="basic", layers=(1, 1, 1, 1), cspn_steps=2,
+              cspn_backend="reference")
+    fused = CSPNUNet(**kw, fuse_heads=True)
+    plain = CSPNUNet(**kw, fuse_heads=False)
+    v = fused.init(jax.random.PRNGKey(0), x)
+    v2 = plain.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
+    for (p, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(v),
+        jax.tree_util.tree_leaves_with_path(v2),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(p))
+    out_f = np.asarray(fused.apply(v, x))
+    out_p = np.asarray(plain.apply(v, x))
+    np.testing.assert_allclose(out_f, out_p, rtol=1e-5, atol=1e-6)
