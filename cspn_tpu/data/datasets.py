@@ -289,15 +289,21 @@ class SyntheticStereoDataset:
         left = rng.random((h, w, 3)).astype(np.float32)
         if self.style == "edges":
             # sharp-edged foreground objects: constant-disparity rectangles
-            # whose borders are also visible in the RGB (brightness shift)
+            # whose borders are visible in the RGB (brightness step) but
+            # whose interiors are nearly TEXTURELESS -- cost-volume matching
+            # is ambiguous inside, so the only way to get the interior right
+            # is to propagate from the confident border: the scenario 3D
+            # CSPN refinement exists for (TPAMI paper Fig. 7 analog)
             for _ in range(3):
                 y0 = int(rng.uniform(0, h * 0.7)); x0 = int(rng.uniform(0, w * 0.7))
                 y1 = y0 + int(rng.uniform(h * 0.15, h * 0.4))
                 x1 = x0 + int(rng.uniform(w * 0.15, w * 0.4))
                 d_obj = rng.uniform(self.max_disp * 0.5, self.max_disp - 1.0)
                 disp[y0:y1, x0:x1] = d_obj
-                left[y0:y1, x0:x1] *= rng.uniform(0.3, 0.7)
-                left[y0:y1, x0:x1] += rng.uniform(0.1, 0.5)
+                flat = rng.uniform(0.2, 0.8)
+                left[y0:y1, x0:x1] = flat + 0.08 * (
+                    left[y0:y1, x0:x1] - left[y0:y1, x0:x1].mean()
+                )
             disp = np.clip(disp, 1.0, self.max_disp - 1.0)
             left = np.clip(left, 0.0, 1.0)
         # smooth the texture a bit so matching is learnable

@@ -254,12 +254,16 @@ class PSMNetCSPN(nn.Module):
     spatial_mesh: object = None
     spatial_halo: object = None  # None = cost-model-chosen K
     # zero-init the 26-gate guidance head: zero gates make the propagation
-    # an EXACT identity (out = (1 - sum w) x + sum w x_nb with w = 0), so a
-    # fresh refinement head starts as a no-op on whatever base it is added
-    # to (the reference's staged --loadmodel fine-tune protocol) instead of
-    # randomly smoothing the cost volume; gradients still flow into the
-    # head because d out / d w_d = x_nb - x != 0
-    guidance_zero_init: bool = True
+    # an EXACT identity at init (out = (1 - sum w) x + sum w x_nb, w = 0).
+    # Default OFF: the op's per-pixel sum-normalization (cspn_nd, paddle
+    # semantics) makes gate magnitude structural -- normalized gates are
+    # O(1) for ANY nonzero head output -- so zero is a measure-zero
+    # identity point and the first optimizer step jumps to full-strength
+    # smoothing with one-noisy-gradient directions (measured WORSE than
+    # lecun init in the staged fine-tune ablation, see
+    # scripts/stereo_refinement_ablation.py).  Kept as an option for op
+    # variants without scale normalization.
+    guidance_zero_init: bool = False
 
     @nn.compact
     def __call__(self, left, right):

@@ -40,6 +40,11 @@ class StereoConfig:
     num_epochs: int = 10
     batch_size: int = 4
     save_dir: str = "result/stereo_cspn"
+    # when set, ONLY params whose tree path contains this substring are
+    # trained (others get optax.set_to_zero -- no update, no weight decay):
+    # the staged-refinement protocol of training just the fresh
+    # guidance3d_head on a frozen pretrained base
+    train_only: Optional[str] = None
 
 
 def build_stereo_model(cfg: StereoConfig, train: bool) -> PSMNetCSPN:
@@ -102,12 +107,23 @@ class StereoTrainer:
         left = jnp.asarray(sample["left"][:1])
         right = jnp.asarray(sample["right"][:1])
         variables = self.model_train.init(jax.random.PRNGKey(0), left, right)
+        tx = make_optimizer(cfg.lr, momentum=0.9, weight_decay=1e-4,
+                            nesterov=False)
+        if cfg.train_only:
+            labels = jax.tree_util.tree_map_with_path(
+                lambda p, _: "train"
+                if cfg.train_only in jax.tree_util.keystr(p)
+                else "freeze",
+                variables["params"],
+            )
+            tx = optax.multi_transform(
+                {"train": tx, "freeze": optax.set_to_zero()}, labels
+            )
         state = TrainState.create(
             apply_fn=self.model_train.apply,
             params=variables["params"],
             batch_stats=variables.get("batch_stats", {}),
-            tx=make_optimizer(cfg.lr, momentum=0.9, weight_decay=1e-4,
-                              nesterov=False),
+            tx=tx,
         )
         self.state = replicate(state, self.mesh)
         self.train_step = make_stereo_train_step(self.model_train, cfg.max_disp)

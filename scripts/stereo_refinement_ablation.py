@@ -38,6 +38,14 @@ def main():
     ap.add_argument("--style", default="edges", choices=["smooth", "edges"],
                     help="synthetic disparity style; 'edges' has the sharp "
                          "depth discontinuities CSPN refinement exploits")
+    ap.add_argument("--seeds", type=int, default=1,
+                    help="independent data seeds; single-seed deltas at this "
+                         "scale are noise-dominated, report the mean")
+    ap.add_argument("--freeze-base", action="store_true",
+                    help="arm B trains ONLY the guidance3d_head on the "
+                         "frozen pretrained base (refinement starts as an "
+                         "exact identity, so head-only descent isolates the "
+                         "refinement's own value)")
     ap.add_argument("--out", default="result/stereo_refinement.json")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the ambient JAX_PLATFORMS "
@@ -54,25 +62,27 @@ def main():
     from cspn_tpu.train.state import partial_restore
     from cspn_tpu.train.stereo_loop import StereoConfig, StereoTrainer
 
-    def make_trainer(use_cspn: bool, tag: str) -> StereoTrainer:
+    def make_trainer(use_cspn: bool, tag: str, seed: int) -> StereoTrainer:
         cfg = StereoConfig(
             max_disp=args.max_disp,
             features=args.features,
             cspn_steps=args.prop_step,
             use_cspn=use_cspn,
             num_epochs=args.pretrain_epochs,
+            train_only="guidance3d_head"
+            if (use_cspn and args.freeze_base) else None,
             batch_size=4,
-            # unique per output file so parallel ablation runs don't race
+            # unique per output file AND seed so parallel runs don't race
             save_dir=f"/tmp/stereo_ablation_"
-                     f"{os.path.basename(args.out).split('.')[0]}_{tag}",
+                     f"{os.path.basename(args.out).split('.')[0]}_{tag}_s{seed}",
         )
         train_ds = SyntheticStereoDataset(
             length=args.train_size, hw=(args.height, args.width),
-            max_disp=cfg.max_disp, seed=0, style=args.style,
+            max_disp=cfg.max_disp, seed=100 * seed, style=args.style,
         )
         val_ds = SyntheticStereoDataset(
             length=16, hw=(args.height, args.width), max_disp=cfg.max_disp,
-            seed=1, style=args.style,
+            seed=100 * seed + 1, style=args.style,
         )
         return StereoTrainer(
             cfg,
@@ -80,33 +90,45 @@ def main():
             DataLoader(val_ds, cfg.batch_size),
         )
 
-    # stage 1: shared PSMNet base, no refinement
-    base = make_trainer(False, "base")
-    base.fit(args.pretrain_epochs)
-    # host copies BEFORE continuing (train_step donates the state buffers)
-    base_params = jax.device_get(base.state.params)
-    base_stats = jax.device_get(base.state.batch_stats)
+    per_seed = {"no_cspn": [], "cspn": []}
+    for seed in range(args.seeds):
+        # stage 1: shared PSMNet base, no refinement
+        base = make_trainer(False, "base", seed)
+        base.fit(args.pretrain_epochs)
+        # host copies BEFORE continuing (train_step donates the state buffers)
+        base_params = jax.device_get(base.state.params)
+        base_stats = jax.device_get(base.state.batch_stats)
 
-    results = {}
-    # arm A: keep training the base without refinement
-    results["no_cspn"] = {
-        k: round(v, 4)
-        for k, v in base.fit(args.pretrain_epochs + args.finetune_epochs).items()
-    }
-    print(f"no_cspn: {results['no_cspn']}", flush=True)
+        if args.freeze_base:
+            # frozen-base protocol: the baseline is the base itself (the
+            # question is whether ADDING the refinement module to a frozen
+            # model improves it), so arm A gets no extra training
+            a = base.validate(args.pretrain_epochs)
+        else:
+            # arm A: keep training the base without refinement
+            a = base.fit(args.pretrain_epochs + args.finetune_epochs)
+        per_seed["no_cspn"].append(a)
+        print(f"seed {seed} no_cspn: {a}", flush=True)
 
-    # arm B: fine-tune WITH 3D-CSPN refinement from the same base weights
-    # (the fresh guidance3d_head params stay at their random init, exactly
-    # like the reference's --loadmodel partial load)
-    cspn = make_trainer(True, "cspn")
-    cspn.state = cspn.state.replace(
-        params=partial_restore(cspn.state.params, base_params, verbose=True),
-        batch_stats=partial_restore(cspn.state.batch_stats, base_stats),
-    )
-    results["cspn"] = {
-        k: round(v, 4) for k, v in cspn.fit(args.finetune_epochs).items()
+        # arm B: fine-tune WITH 3D-CSPN refinement from the same base
+        # weights (the fresh zero-init guidance3d_head makes the refinement
+        # start as an exact identity on the base, like the reference's
+        # --loadmodel partial load)
+        cspn = make_trainer(True, "cspn", seed)
+        cspn.state = cspn.state.replace(
+            params=partial_restore(cspn.state.params, base_params,
+                                   verbose=seed == 0),
+            batch_stats=partial_restore(cspn.state.batch_stats, base_stats),
+        )
+        b = cspn.fit(args.finetune_epochs)
+        per_seed["cspn"].append(b)
+        print(f"seed {seed} cspn: {b}", flush=True)
+
+    results = {
+        arm: {k: round(sum(r[k] for r in rs) / len(rs), 4) for k in rs[0]}
+        for arm, rs in per_seed.items()
     }
-    print(f"cspn: {results['cspn']}", flush=True)
+    print(f"means over {args.seeds} seed(s): {results}", flush=True)
 
     rec = {
         "what": "PSMNet stereo: fine-tune +-3D-CSPN cost-volume refinement "
@@ -122,9 +144,15 @@ def main():
             "pretrain_epochs": args.pretrain_epochs,
             "finetune_epochs": args.finetune_epochs,
             "train_frames": args.train_size,
+            "seeds": args.seeds,
+            "freeze_base": args.freeze_base,
         },
         "no_cspn": results["no_cspn"],
         "cspn": results["cspn"],
+        "per_seed": {
+            arm: [{k: round(v, 4) for k, v in r.items()} for r in rs]
+            for arm, rs in per_seed.items()
+        },
         "epe_improvement": round(
             results["no_cspn"]["EPE"] - results["cspn"]["EPE"], 4
         ),

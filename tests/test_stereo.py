@@ -58,16 +58,16 @@ def test_stereo_model_forward(rng, use_cspn):
 
 
 def test_zero_init_guidance_is_identity_refinement(rng):
-    """With the default zero-init guidance head the 3D CSPN refinement is an
-    EXACT identity at init, so adding refinement to a pretrained base starts
-    as a no-op (the reference's staged --loadmodel fine-tune protocol): the
-    use_cspn model must reproduce the no-CSPN model bit-for-bit (the shared
-    params get identical per-path init RNG)."""
+    """With guidance_zero_init=True the 3D CSPN refinement is an EXACT
+    identity at init: the use_cspn model must reproduce the no-CSPN model
+    bit-for-bit (the shared params get identical per-path init RNG).  Note
+    this is an opt-in: the op's scale normalization makes zero a
+    measure-zero identity point, see models/stereo.py."""
     left = jnp.asarray(rng.standard_normal((1, 32, 48, 3), dtype=np.float32))
     right = jnp.asarray(rng.standard_normal((1, 32, 48, 3), dtype=np.float32))
     kw = dict(max_disp=16, features=8, cspn_steps=4, train=False)
     base = PSMNetCSPN(**kw, use_cspn=False)
-    cspn = PSMNetCSPN(**kw, use_cspn=True)  # guidance_zero_init defaults True
+    cspn = PSMNetCSPN(**kw, use_cspn=True, guidance_zero_init=True)
     d_base = base.apply(base.init(jax.random.PRNGKey(0), left, right), left, right)
     d_cspn = cspn.apply(cspn.init(jax.random.PRNGKey(0), left, right), left, right)
     np.testing.assert_array_equal(np.asarray(d_base), np.asarray(d_cspn))
