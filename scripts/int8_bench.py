@@ -74,7 +74,7 @@ def metric_deltas(runs: int = 5) -> dict:
         cfg = dataclasses.replace(
             base, model=dataclasses.replace(base.model, dtype=mode)
         )
-        m = run_eval(cfg, runs=runs)
+        m = run_eval(cfg, runs=runs)["mean"]  # 5-run protocol mean
         out[mode] = {k: round(float(v), 5) for k, v in m.items()}
         log(f"{mode}: {out[mode]}")
     return out
