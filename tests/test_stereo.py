@@ -249,3 +249,36 @@ def test_stereo_eval_driver_and_metrics(tmp_path):
     gt_png = np.asarray(Image.open(os.path.join(out_dir, "00000_gt.png")))
     assert gt_png.dtype == np.uint16
     np.testing.assert_allclose(gt_png / 256.0, np.asarray(ds[0]["disp"]), atol=0.01)
+
+
+def test_train_only_freezes_base_params(tmp_path):
+    """StereoConfig.train_only: only params whose path contains the filter
+    substring get optimizer updates (others: no update, no weight decay)."""
+    from cspn_tpu.data import DataLoader
+    from cspn_tpu.data.datasets import SyntheticStereoDataset
+    from cspn_tpu.train.stereo_loop import StereoConfig, StereoTrainer
+
+    from cspn_tpu.parallel import make_mesh
+
+    cfg = StereoConfig(max_disp=8, features=4, cspn_steps=1, num_epochs=1,
+                       batch_size=2, save_dir=str(tmp_path / "ckpt"),
+                       train_only="guidance3d_head")
+    ds = SyntheticStereoDataset(length=4, hw=(16, 24), max_disp=8, seed=0)
+    t = StereoTrainer(cfg, DataLoader(ds, 2, drop_last=True), DataLoader(ds, 2),
+                      mesh=make_mesh(data=2, spatial=1))
+    before = jax.device_get(t.state.params)
+    t.train_epoch(0)
+    after = jax.device_get(t.state.params)
+    changed = []
+    for (p, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(before),
+        jax.tree_util.tree_leaves_with_path(after),
+    ):
+        path = jax.tree_util.keystr(p)
+        if "guidance3d_head" in path:
+            changed.append(path)
+            assert not np.array_equal(np.asarray(a), np.asarray(b)), path
+        else:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=path)
+    assert changed  # the head must actually train
