@@ -36,6 +36,11 @@ def _add_common_overrides(p: argparse.ArgumentParser):
                    choices=["auto", "pallas", "reference"])
     p.add_argument("--dtype", default=None,
                    choices=["float32", "bfloat16", "int8"])
+    p.add_argument("--cspn-io-dtype", dest="cspn_io_dtype", default=None,
+                   choices=["float32", "bfloat16"],
+                   help="HBM I/O dtype of the fused CSPN kernel (bfloat16 "
+                        "halves its gate/depth read traffic; in-VMEM "
+                        "arithmetic stays f32)")
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--momentum", type=float, default=None)
     p.add_argument("--weight-decay", dest="weight_decay", type=float, default=None)
@@ -93,6 +98,7 @@ def _build_config(args):
         ("cspn_norm_type", model, "cspn_norm_type"),
         ("cspn_backend", model, "cspn_backend"),
         ("dtype", model, "dtype"),
+        ("cspn_io_dtype", model, "cspn_io_dtype"),
         ("lr", optim, "lr"),
         ("momentum", optim, "momentum"),
         ("weight_decay", optim, "weight_decay"),
@@ -125,6 +131,13 @@ def _build_config(args):
 
 def cmd_train(args):
     cfg = _build_config(args)
+    if cfg.model.dtype == "int8":
+        # int8 is serving-only (round() has zero gradient); build_model
+        # would silently train in bf16 -- fail loudly instead
+        raise SystemExit(
+            "--dtype int8 is serving-only (use it with `eval`); "
+            "train with --dtype bfloat16 or float32"
+        )
     from cspn_tpu.parallel import make_mesh
     from cspn_tpu.train.factory import build_loaders
     from cspn_tpu.train.loop import Trainer

@@ -41,10 +41,15 @@ class StereoConfig:
     batch_size: int = 4
     save_dir: str = "result/stereo_cspn"
     # when set, ONLY params whose tree path contains this substring are
-    # trained (others get optax.set_to_zero -- no update, no weight decay):
-    # the staged-refinement protocol of training just the fresh
-    # guidance3d_head on a frozen pretrained base
+    # trained (others get optax.set_to_zero -- no update, no weight decay)
+    # and the frozen modules' BatchNorm running stats are pinned too: the
+    # staged-refinement protocol of training just the fresh guidance3d_head
+    # on a frozen pretrained base
     train_only: Optional[str] = None
+    # zero-init the 3D guidance head so the CSPN refinement starts as an
+    # exact identity on the base output (sensible for the frozen-base
+    # protocol; measured worse for full fine-tuning -- see README)
+    guidance_zero_init: bool = False
 
 
 def build_stereo_model(cfg: StereoConfig, train: bool) -> PSMNetCSPN:
@@ -55,10 +60,13 @@ def build_stereo_model(cfg: StereoConfig, train: bool) -> PSMNetCSPN:
         use_cspn=cfg.use_cspn,
         dtype=jnp.bfloat16 if cfg.dtype in ("bfloat16", "bf16") else None,
         train=train,
+        guidance_zero_init=cfg.guidance_zero_init,
     )
 
 
-def make_stereo_train_step(model: PSMNetCSPN, max_disp: float):
+def make_stereo_train_step(
+    model: PSMNetCSPN, max_disp: float, train_only: Optional[str] = None
+):
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, left, right, disp):
         def loss_fn(params):
@@ -73,9 +81,20 @@ def make_stereo_train_step(model: PSMNetCSPN, max_disp: float):
         (loss, (out, updates)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
-        state = state.apply_gradients(grads=grads).replace(
-            batch_stats=updates["batch_stats"]
-        )
+        new_stats = updates["batch_stats"]
+        if train_only is not None:
+            # frozen modules keep their pretrained running stats: the
+            # train-mode forward would otherwise drift them while their
+            # params stay fixed (train normalizes with batch stats, eval
+            # with the drifted running stats -- breaking head-only isolation)
+            new_stats = jax.tree_util.tree_map_with_path(
+                lambda p, old, new: new
+                if train_only in jax.tree_util.keystr(p)
+                else old,
+                state.batch_stats,
+                new_stats,
+            )
+        state = state.apply_gradients(grads=grads).replace(batch_stats=new_stats)
         return state, loss, end_point_error(out, disp, max_disp)
 
     return step
@@ -126,7 +145,9 @@ class StereoTrainer:
             tx=tx,
         )
         self.state = replicate(state, self.mesh)
-        self.train_step = make_stereo_train_step(self.model_train, cfg.max_disp)
+        self.train_step = make_stereo_train_step(
+            self.model_train, cfg.max_disp, train_only=cfg.train_only
+        )
         self.eval_step = make_stereo_eval_step(self.model_eval, cfg.max_disp)
         self.ckpt = ckpt_lib.CheckpointManager(cfg.save_dir)
         self.best_epe = float("inf")

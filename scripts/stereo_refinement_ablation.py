@@ -43,9 +43,10 @@ def main():
                          "scale are noise-dominated, report the mean")
     ap.add_argument("--freeze-base", action="store_true",
                     help="arm B trains ONLY the guidance3d_head on the "
-                         "frozen pretrained base (refinement starts as an "
-                         "exact identity, so head-only descent isolates the "
-                         "refinement's own value)")
+                         "frozen pretrained base (params AND running stats "
+                         "pinned); the head is zero-init under this protocol "
+                         "so refinement starts as an exact identity and "
+                         "head-only descent isolates the refinement's value")
     ap.add_argument("--out", default="result/stereo_refinement.json")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the ambient JAX_PLATFORMS "
@@ -71,6 +72,9 @@ def main():
             num_epochs=args.pretrain_epochs,
             train_only="guidance3d_head"
             if (use_cspn and args.freeze_base) else None,
+            # identity start only for the frozen-base protocol; the default
+            # protocol keeps lecun init (zero-init measured worse there)
+            guidance_zero_init=bool(use_cspn and args.freeze_base),
             batch_size=4,
             # unique per output file AND seed so parallel runs don't race
             save_dir=f"/tmp/stereo_ablation_"
@@ -111,9 +115,10 @@ def main():
         print(f"seed {seed} no_cspn: {a}", flush=True)
 
         # arm B: fine-tune WITH 3D-CSPN refinement from the same base
-        # weights (the fresh zero-init guidance3d_head makes the refinement
-        # start as an exact identity on the base, like the reference's
-        # --loadmodel partial load)
+        # weights, like the reference's --loadmodel partial load.  The fresh
+        # guidance3d_head is lecun-init by default (NOT an identity start;
+        # zero-init measured worse for full fine-tuning, README) -- under
+        # --freeze-base it is zero-init so refinement starts as an identity.
         cspn = make_trainer(True, "cspn", seed)
         cspn.state = cspn.state.replace(
             params=partial_restore(cspn.state.params, base_params,

@@ -267,6 +267,7 @@ def test_train_only_freezes_base_params(tmp_path):
     t = StereoTrainer(cfg, DataLoader(ds, 2, drop_last=True), DataLoader(ds, 2),
                       mesh=make_mesh(data=2, spatial=1))
     before = jax.device_get(t.state.params)
+    before_stats = jax.device_get(t.state.batch_stats)
     t.train_epoch(0)
     after = jax.device_get(t.state.params)
     changed = []
@@ -282,3 +283,13 @@ def test_train_only_freezes_base_params(tmp_path):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                           err_msg=path)
     assert changed  # the head must actually train
+    # frozen modules' BN running stats are pinned too (the base must not
+    # drift under the head-only protocol; ADVICE r2)
+    for (p, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(before_stats),
+        jax.tree_util.tree_leaves_with_path(jax.device_get(t.state.batch_stats)),
+    ):
+        path = jax.tree_util.keystr(p)
+        if "guidance3d_head" not in path:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=path)
