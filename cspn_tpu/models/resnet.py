@@ -22,11 +22,88 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 
+class _TorchStatsBatchNorm(nn.Module):
+    """flax ``nn.BatchNorm`` with torch's running-statistics semantics.
+
+    Identical math to flax for normalization (biased batch variance, f32
+    stats, same `_normalize` op order/dtype promotion), but the running-var
+    update uses the UNBIASED batch variance (Bessel n/(n-1)) exactly like
+    ``torch.nn.modules.batchnorm._BatchNorm.forward`` — flax updates with
+    the biased variance, which drifts the running stats by n/(n-1) per
+    step vs a torch-trained model.  Pinned against executed torch BN in
+    tests/test_torch_oracle.py (full-model training-step parity)."""
+
+    use_running_average: bool
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    axis_name: str | None = None
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x):
+        from flax.linen import normalization as _nm
+
+        feature_axes = (x.ndim - 1,)
+        reduction_axes = tuple(range(x.ndim - 1))
+        feature_shape = [x.shape[-1]]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda s: jnp.zeros(s, jnp.float32),
+            feature_shape,
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda s: jnp.ones(s, jnp.float32),
+            feature_shape,
+        )
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            mean, var = _nm._compute_stats(
+                x,
+                reduction_axes,
+                dtype=self.dtype,
+                axis_name=self.axis_name if not self.is_initializing() else None,
+            )
+            if not self.is_initializing():
+                n = 1.0
+                for ax in reduction_axes:
+                    n *= x.shape[ax]
+                if self.axis_name is not None:
+                    import jax as _jax
+
+                    n = n * _jax.lax.psum(1.0, self.axis_name)
+                bessel = n / (n - 1.0) if n > 1.0 else 1.0
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value
+                    + (1 - self.momentum) * var * bessel
+                )
+        return _nm._normalize(
+            self,
+            x,
+            mean,
+            var,
+            reduction_axes,
+            feature_axes,
+            self.dtype,
+            jnp.float32,
+            self.epsilon,
+            True,
+            True,
+            nn.initializers.zeros,
+            nn.initializers.ones,
+        )
+
+
 class BatchNorm(nn.Module):
-    """BatchNorm matching torch defaults (eps 1e-5, momentum 0.1).
+    """BatchNorm matching torch defaults (eps 1e-5, momentum 0.1, unbiased
+    running-var update).
 
     `dtype` is the compute/output dtype (bf16 for mixed precision); statistics
-    and parameters stay float32 (flax accumulates in param_dtype)."""
+    and parameters stay float32.  The inner module is pinned to the name
+    'BatchNorm_0' so parameter trees stay interchangeable with checkpoints
+    produced when this wrapper nested a plain flax ``nn.BatchNorm``."""
 
     use_running_average: bool
     axis_name: str | None = None
@@ -34,12 +111,13 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.BatchNorm(
+        return _TorchStatsBatchNorm(
             use_running_average=self.use_running_average,
             momentum=0.9,
             epsilon=1e-5,
             axis_name=self.axis_name,
             dtype=self.dtype,
+            name="BatchNorm_0",
         )(x)
 
 
