@@ -25,6 +25,11 @@ class ModelConfig:
     cspn_backend: str = "auto"
     dtype: str = "float32"  # 'float32' | 'bfloat16' (mixed-precision convs)
     #   | 'int8' (serving-only dynamic quantization of the conv stack)
+    # modules kept high-precision under int8 serving (see CSPNUNet.quant_exclude)
+    quant_exclude: tuple = ("gud_up_proj_layer4",)
+    # opt-in HBM I/O dtype for the fused CSPN kernel ('bfloat16' halves the
+    # kernel's gate/depth read traffic; arithmetic stays f32)
+    cspn_io_dtype: str | None = None
 
 
 @dataclasses.dataclass

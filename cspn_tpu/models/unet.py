@@ -93,9 +93,19 @@ class CSPNUNet(nn.Module):
     # CSPN post-process stays f32).  Serving-only: round() has zero
     # gradient.  Params are unchanged -- any checkpoint serves quantized.
     quant: bool = False
+    # module names kept high-precision when quant=True.  Default excludes
+    # the last decoder block: quantizing it perturbs the near-zero tail of
+    # the depth head enough to regress inverse-depth metrics ~37% (iRMSE
+    # weights 1/pred; result/int8_eval.json ablation) while contributing
+    # little serving time (it has the smallest channel counts).
+    quant_exclude: Sequence[str] = ("gud_up_proj_layer4",)
     # fused sub-pixel unpool+conv decoder (identical math; False = the naive
     # unpool-then-conv composition, kept as the translation baseline)
     subpixel: bool = True
+    # opt-in HBM I/O dtype for the fused CSPN kernel (jnp.bfloat16 halves
+    # its gate/depth read traffic; in-VMEM arithmetic stays f32).  Accuracy
+    # trade measured in result/bf16_io_eval.json.
+    cspn_io_dtype: Any = None
     # run the depth head (1 ch) and affinity head (8 ch) as ONE fused
     # 9-channel subpixel conv: each tiny output-channel count pads to full
     # 128 lanes on TPU, so two separate head convs cost two full conv
@@ -113,6 +123,10 @@ class CSPNUNet(nn.Module):
         e = 4 if self.block == "bottleneck" else 1
 
         assert not (self.quant and self.train), "int8 quantization is serving-only"
+
+        def q(name: str) -> bool:
+            return self.quant and name not in tuple(self.quant_exclude)
+
         if self.dtype is not None:
             x = x.astype(self.dtype)
         feats, skips = ResNetEncoder(
@@ -121,22 +135,24 @@ class CSPNUNet(nn.Module):
             train=self.train,
             axis_name=self.axis_name,
             dtype=self.dtype,
-            quant=self.quant,
+            quant=q("encoder"),
             name="encoder",
         )(x)
 
         kw = dict(train=self.train, axis_name=self.axis_name, dtype=self.dtype,
-                  quant=self.quant, subpixel=self.subpixel)
-        d = GudiUpProj(256 * e, *sizes[4], **kw, name="gud_up_proj_layer1")(feats)
-        d = GudiUpProjCat(128 * e, *sizes[3], **kw, name="gud_up_proj_layer2")(
-            d, skips["skip2"]
-        )
-        d = GudiUpProjCat(64 * e, *sizes[2], **kw, name="gud_up_proj_layer3")(
-            d, skips["skip3"]
-        )
-        d = GudiUpProjCat(64, *sizes[1], **kw, name="gud_up_proj_layer4")(
-            d, skips["skip4"]
-        )
+                  subpixel=self.subpixel)
+        d = GudiUpProj(256 * e, *sizes[4], **kw,
+                       quant=q("gud_up_proj_layer1"),
+                       name="gud_up_proj_layer1")(feats)
+        d = GudiUpProjCat(128 * e, *sizes[3], **kw,
+                          quant=q("gud_up_proj_layer2"),
+                          name="gud_up_proj_layer2")(d, skips["skip2"])
+        d = GudiUpProjCat(64 * e, *sizes[2], **kw,
+                          quant=q("gud_up_proj_layer3"),
+                          name="gud_up_proj_layer3")(d, skips["skip3"])
+        d = GudiUpProjCat(64, *sizes[1], **kw,
+                          quant=q("gud_up_proj_layer4"),
+                          name="gud_up_proj_layer4")(d, skips["skip4"])
         if self.use_cspn and self.subpixel and self.fuse_heads:
             # one 9-channel subpixel head conv; channel 0 = depth, 1..8 =
             # affinity.  Per-output-channel conv math is identical to the
@@ -193,6 +209,7 @@ class CSPNUNet(nn.Module):
             steps=self.cspn_steps,
             norm_type=self.cspn_norm_type,
             backend=self.cspn_backend,
+            io_dtype=self.cspn_io_dtype,
         )
 
 

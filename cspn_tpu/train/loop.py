@@ -56,6 +56,13 @@ def build_model(cfg: RunConfig, train: bool):
         cspn_backend=cfg.model.cspn_backend,
         dtype=dtype,
         quant=quant,
+        quant_exclude=tuple(getattr(cfg.model, "quant_exclude",
+                                    ("gud_up_proj_layer4",))),
+        cspn_io_dtype=(
+            jnp.bfloat16
+            if getattr(cfg.model, "cspn_io_dtype", None) in ("bfloat16", "bf16")
+            else None
+        ),
     )
 
 

@@ -62,21 +62,50 @@ def bench_fps(batch: int, repeats: int = 8) -> dict:
 
 
 def metric_deltas(runs: int = 5) -> dict:
-    """5-run synthetic eval of the trained smoke checkpoint, bf16 vs int8."""
+    """Paired 5-run synthetic eval of the trained smoke checkpoint.
+
+    run_eval seeds the sparse sampler per run index, so run k of every
+    variant sees the SAME sparse points: deltas are paired, and the
+    artifact reports mean +- std of the per-run paired deltas (the honest
+    uncertainty; inverse-depth metrics are dominated by few near-zero-depth
+    pixels and swing between runs).  Variants: bf16; int8 with the default
+    exclusion (last decoder block); int8 everywhere (the r2 iRMSE-regression
+    configuration, kept as the ablation record)."""
     import dataclasses
 
     from cspn_tpu.config import PRESETS
     from cspn_tpu.train.evaluate import run_eval
 
+    base = PRESETS["synthetic_smoke"]
+    variants = {
+        "bfloat16": ("bfloat16", ("gud_up_proj_layer4",)),
+        "int8": ("int8", ("gud_up_proj_layer4",)),
+        "int8_all": ("int8", ()),
+    }
     out = {}
-    for mode in ("bfloat16", "int8"):
-        base = PRESETS["synthetic_smoke"]
+    per_run = {}
+    for name, (mode, excl) in variants.items():
         cfg = dataclasses.replace(
-            base, model=dataclasses.replace(base.model, dtype=mode)
+            base,
+            model=dataclasses.replace(base.model, dtype=mode,
+                                      quant_exclude=excl),
         )
-        m = run_eval(cfg, runs=runs)["mean"]  # 5-run protocol mean
-        out[mode] = {k: round(float(v), 5) for k, v in m.items()}
-        log(f"{mode}: {out[mode]}")
+        r = run_eval(cfg, runs=runs)
+        out[name] = {k: round(float(v), 5) for k, v in r["mean"].items()}
+        per_run[name] = r["runs"]
+        log(f"{name}: {out[name]}")
+    deltas = {}
+    import numpy as _np
+
+    for name in ("int8", "int8_all"):
+        d = {}
+        for k in out["bfloat16"]:
+            pair = [per_run[name][i][k] - per_run["bfloat16"][i][k]
+                    for i in range(runs)]
+            d[k] = {"mean": round(float(_np.mean(pair)), 5),
+                    "std": round(float(_np.std(pair)), 5)}
+        deltas[name] = d
+    out["paired_deltas_vs_bf16"] = deltas
     return out
 
 
@@ -85,10 +114,16 @@ def main():
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--skip-fps", action="store_true")
     ap.add_argument("--skip-metrics", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (NB `env JAX_PLATFORMS=cpu` "
+                         "is silently ignored under the ambient axon env)")
     ap.add_argument("--out", default="result/int8_eval.json")
     args = ap.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     rec = {
         "what": "int8 dynamic-quantized serving vs bf16: flagship eval "
@@ -109,6 +144,7 @@ def main():
         rec["synthetic_smoke_eval"] = metric_deltas()
         bf, q = rec["synthetic_smoke_eval"]["bfloat16"], rec["synthetic_smoke_eval"]["int8"]
         rec["rmse_delta"] = round(q["RMSE"] - bf["RMSE"], 5)
+        rec["irmse_delta"] = round(q["iRMSE"] - bf["iRMSE"], 5)
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(rec, f, indent=1)
