@@ -39,27 +39,46 @@ def cspn2d(
     steps: int = 24,
     norm_type: str = "8sum",
     backend: str = "auto",
+    io_dtype=None,
 ) -> jnp.ndarray:
-    """2D CSPN post-process (pytorch reference semantics). See cspn_ref.cspn2d_reference."""
+    """2D CSPN post-process (pytorch reference semantics). See cspn_ref.cspn2d_reference.
+
+    io_dtype: opt-in HBM I/O dtype for the fused kernel (jnp.bfloat16
+    halves its read traffic / input VMEM residency; arithmetic stays f32).
+    The reference backend emulates it by rounding the inputs, which is the
+    same function the kernel computes (it upcasts at first use).
+    """
     backend = _resolve(backend)
+    io_bytes = jnp.dtype(io_dtype).itemsize if io_dtype is not None else 4
     if backend == "pallas":
         from cspn_tpu.ops import cspn_pallas
 
         h, w = guidance.shape[-3], guidance.shape[-2]
-        if cspn_pallas.fwd_fits_vmem(h, w):
+        if cspn_pallas.fwd_fits_vmem(h, w, io_bytes):
             return cspn_pallas.cspn2d_pallas(
-                guidance, blur_depth, sparse_depth, steps=steps, norm_type=norm_type
+                guidance, blur_depth, sparse_depth, steps=steps,
+                norm_type=norm_type, io_dtype=io_dtype,
             )
         if cspn_pallas.tiled_fwd_fits(h, w, steps):
             # image too large for the whole-image kernel's VMEM budget:
             # row-tiled fused path (all steps per tile in VMEM, steps-row
             # halos; ~1 normalize pass + ~1.2x one plane read/write of HBM
-            # traffic instead of ~10 planes per step for composed XLA)
+            # traffic instead of ~10 planes per step for composed XLA).
+            # io_dtype deliberately not plumbed here: under bf16 I/O the
+            # whole-image kernel already covers 2x704x1216, and the tiled
+            # path is ~90% VPU-compute-bound (docs/SCALING.md), so halved
+            # DMA would buy <8%.
             return cspn_pallas.cspn2d_tiled(
                 guidance, blur_depth, sparse_depth, steps=steps, norm_type=norm_type
             )
         backend = "reference"  # width beyond even the tiled VMEM budget
     if backend == "reference":
+        if io_dtype is not None:
+            dt = jnp.dtype(io_dtype)
+            guidance = guidance.astype(dt).astype(jnp.float32)
+            blur_depth = blur_depth.astype(dt).astype(jnp.float32)
+            if sparse_depth is not None:
+                sparse_depth = sparse_depth.astype(dt).astype(jnp.float32)
         return cspn_ref.cspn2d_reference(
             guidance, blur_depth, sparse_depth, steps=steps, norm_type=norm_type
         )

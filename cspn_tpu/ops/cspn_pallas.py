@@ -68,9 +68,12 @@ _BY_DX = {
 # of the reference (below) while keeping the fused forward.
 _VMEM_LIMIT_BYTES = 100 * 1024 * 1024
 _VMEM_BUDGET_BYTES = 96 * 1024 * 1024
-def fwd_fits_vmem(h: int, w: int) -> bool:
-    # inputs (8+1+1) + output, x2 for grid double-buffering, + 9 scratch
-    return 31 * h * w * 4 <= _VMEM_BUDGET_BYTES
+def fwd_fits_vmem(h: int, w: int, io_bytes: int = 4) -> bool:
+    # inputs (8+1+1) x2 for grid double-buffering at the HBM I/O dtype,
+    # output x2 (f32) + 9 f32 scratch planes.  bf16 I/O (io_bytes=2)
+    # extends the whole-image range ~1.5x (e.g. 2x704x1216 KITTI frames
+    # run whole-image instead of row-tiled).
+    return h * w * (20 * io_bytes + 11 * 4) <= _VMEM_BUDGET_BYTES
 
 
 def bwd_fits_vmem(h: int, w: int, steps: int) -> bool:
@@ -125,12 +128,14 @@ def _fwd_kernel(
     n_pack = out_ref.shape[0]
 
     def packed(img_ref, c=None):
-        """Concatenate P single-image planes along lanes with 2-col zeros."""
+        """Concatenate P single-image planes along lanes with 2-col zeros.
+        Upcasts to f32 (inputs may ride HBM as bf16, io_dtype)."""
         parts = []
         for p in range(n_pack):
             plane = img_ref[p] if c is None else img_ref[p, c]
+            plane = plane.astype(jnp.float32)
             if p:
-                parts.append(jnp.zeros((h, 2), plane.dtype))
+                parts.append(jnp.zeros((h, 2), jnp.float32))
             parts.append(plane)
         return parts[0] if n_pack == 1 else jnp.concatenate(parts, axis=-1)
 
@@ -139,7 +144,7 @@ def _fwd_kernel(
     xpad_ref[:] = jnp.zeros_like(xpad_ref)  # reused as padding canvas for gates
     for d, (dy, _) in enumerate(_OFFS):
         for p in range(n_pack):
-            g = guid_ref[p, d]
+            g = guid_ref[p, d].astype(jnp.float32)
             if norm_abs:
                 g = jnp.abs(g)
             xpad_ref[1 : h + 1, p * (w + 2) : p * (w + 2) + w] = g
@@ -215,14 +220,20 @@ def _cspn2d_pallas_impl(
     steps: int,
     norm_type: str,
     interpret: bool,
+    io_dtype=jnp.float32,
 ) -> jnp.ndarray:
     n, _, h, w = guidance_cf.shape
     use_sparse = sparse_depth is not None
+    io_dtype = jnp.dtype(io_dtype)
     # pack 2 images along lanes (separated by 2 zero columns) when W is not
     # a lane-tile multiple: NYU W=304 pads to 384 lanes (26% of VPU work
     # wasted); a 610-lane pair block pads to 640 (5% waste).  Lane-aligned
     # widths and odd batches keep the 1-image grid.
-    n_pack = 2 if (n % 2 == 0 and w % 128 != 0 and fwd_fits_vmem(h, 2 * w + 2)) else 1
+    n_pack = 2 if (
+        n % 2 == 0
+        and w % 128 != 0
+        and fwd_fits_vmem(h, 2 * w + 2, io_dtype.itemsize)
+    ) else 1
     wp = n_pack * w + 2 * (n_pack - 1)
     kernel = functools.partial(
         _fwd_kernel if use_sparse else _fwd_kernel_nosparse,
@@ -238,10 +249,10 @@ def _cspn2d_pallas_impl(
         ),
         img_spec,
     ]
-    args = [guidance_cf.astype(jnp.float32), blur_depth.astype(jnp.float32)]
+    args = [guidance_cf.astype(io_dtype), blur_depth.astype(io_dtype)]
     if use_sparse:
         in_specs.append(img_spec)
-        args.append(sparse_depth.astype(jnp.float32))
+        args.append(sparse_depth.astype(io_dtype))
     flops_step = 8 * 2 * h * w
     return pl.pallas_call(
         kernel,
@@ -255,7 +266,7 @@ def _cspn2d_pallas_impl(
         ],
         cost_estimate=pl.CostEstimate(
             flops=n * steps * flops_step,
-            bytes_accessed=n * (8 + 1 + 1 + 1) * h * w * 4,
+            bytes_accessed=n * h * w * (10 * io_dtype.itemsize + 4),
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES),
@@ -1057,21 +1068,29 @@ def _cspn2d_bwd_pallas(guidance_cf, blur_depth, sparse_depth, ct, steps,
 # --- custom VJP: pallas forward, reference-rematerialized backward ---------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _cspn2d_vjp(guidance_cf, blur_depth, sparse_depth, steps, norm_type, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _cspn2d_vjp(guidance_cf, blur_depth, sparse_depth, steps, norm_type,
+                interpret, io_dtype):
     return _cspn2d_pallas_impl(
-        guidance_cf, blur_depth, sparse_depth, steps, norm_type, interpret
+        guidance_cf, blur_depth, sparse_depth, steps, norm_type, interpret,
+        io_dtype,
     )
 
 
-def _cspn2d_fwd(guidance_cf, blur_depth, sparse_depth, steps, norm_type, interpret):
+def _cspn2d_fwd(guidance_cf, blur_depth, sparse_depth, steps, norm_type,
+                interpret, io_dtype):
     out = _cspn2d_pallas_impl(
-        guidance_cf, blur_depth, sparse_depth, steps, norm_type, interpret
+        guidance_cf, blur_depth, sparse_depth, steps, norm_type, interpret,
+        io_dtype,
     )
     return out, (guidance_cf, blur_depth, sparse_depth)
 
 
-def _cspn2d_bwd(steps, norm_type, interpret, residuals, ct):
+def _cspn2d_bwd(steps, norm_type, interpret, io_dtype, residuals, ct):
+    # backward runs on the f32 residuals regardless of the forward's HBM
+    # I/O dtype (standard mixed-precision treatment: the bf16 forward is a
+    # rounding of the f32 function; its exact adjoint differs only at the
+    # rounding level, far below gradient noise -- metric-delta artifact)
     guidance_cf, blur_depth, sparse_depth = residuals
     n, _, h, w = guidance_cf.shape
     if not bwd_fits_vmem(h, w, steps):
@@ -1108,6 +1127,7 @@ def cspn2d_pallas(
     norm_type: str = "8sum",
     interpret: bool | None = None,
     channel_first: bool = False,
+    io_dtype=None,
 ):
     """Fused 2D CSPN (pytorch reference semantics, cspn.py:42-83).
 
@@ -1115,12 +1135,20 @@ def cspn2d_pallas(
         guidance: [N, H, W, 8] (or [N, 8, H, W] with channel_first=True).
         blur_depth: [N, H, W].
         sparse_depth: optional [N, H, W].
+        io_dtype: HBM I/O dtype for the inputs (None = float32).
+            jnp.bfloat16 halves the kernel's HBM read traffic and VMEM
+            input residency (all in-VMEM arithmetic stays f32); the
+            rounding of gates/depth to bf16 is an opt-in accuracy trade
+            (metric-delta artifact: result/bf16_io_eval.json).
     Returns [N, H, W] float32.
     """
     if interpret is None:
         interpret = _interpret_default()
     g_cf = guidance if channel_first else jnp.moveaxis(guidance, -1, 1)
-    return _cspn2d_vjp(g_cf, blur_depth, sparse_depth, steps, norm_type, interpret)
+    return _cspn2d_vjp(
+        g_cf, blur_depth, sparse_depth, steps, norm_type, interpret,
+        jnp.dtype(io_dtype or jnp.float32),
+    )
 
 
 def cspn_nd_pallas(guide, feat, *, kernel_size: int = 3, steps: int = 24):

@@ -62,7 +62,7 @@ def _measure(chained, lead, rest, shape_probe):
     return float(np.median(slopes))
 
 
-def probe_2d(n=16, h=228, w=304, steps=24):
+def probe_2d(n=16, h=228, w=304, steps=24, io_dtype=None):
     import jax
     import jax.numpy as jnp
     from cspn_tpu.ops import cspn2d
@@ -78,17 +78,21 @@ def probe_2d(n=16, h=228, w=304, steps=24):
     @jax.jit
     def chained(g, b, s, reps):
         def body(_, b):
-            y = cspn2d(g, b, s, steps=steps, backend="pallas")
+            y = cspn2d(g, b, s, steps=steps, backend="pallas", io_dtype=io_dtype)
             return b * 0.999 + y * 1e-6
 
         return jax.lax.fori_loop(0, reps, body, b)
 
     t = _measure(chained, g, (b, s), "2d")
     px = n * h * w
-    bytes_min = px * 4 * (8 + 1 + 1 + 1)  # gates + blur + sparse + out, f32
+    io_bytes = 2 if io_dtype is not None else 4
+    bytes_min = px * (io_bytes * 10 + 4)  # gates+blur+sparse at io dtype, f32 out
     sol = bytes_min / (HBM_GBPS * 1e9)
+    from cspn_tpu.ops.cspn_pallas import fwd_fits_vmem
     return {
-        "kernel": "cspn2d_pallas",
+        "kernel": "cspn2d_pallas"
+                  + ("_bf16io" if io_dtype is not None else "")
+                  + ("" if fwd_fits_vmem(h, w, io_bytes) else "(tiled)"),
         "shape": f"{n}x{h}x{w}x8g",
         "steps": steps,
         "us": round(t * 1e6, 1),
@@ -139,11 +143,29 @@ def main():
 
     import jax
 
+    import functools
+    import jax.numpy as jnp
+
     if jax.devices()[0].platform != "tpu":
         log("no TPU visible; roofline numbers are only meaningful on TPU")
-    for probe in (probe_2d, probe_3d):
+    out_path = sys.argv[1] if len(sys.argv) > 1 else None
+    rows = []
+    for probe in (
+        probe_2d,
+        functools.partial(probe_2d, io_dtype=jnp.bfloat16),
+        # KITTI-double-height frames: f32 routes to the row-tiled kernel,
+        # bf16 I/O fits the whole-image kernel (fwd_fits_vmem extension)
+        functools.partial(probe_2d, n=2, h=704, w=1216),
+        functools.partial(probe_2d, n=2, h=704, w=1216, io_dtype=jnp.bfloat16),
+        probe_3d,
+    ):
         rec = probe()
+        rows.append(rec)
         print(json.dumps(rec), flush=True)
+    if out_path:
+        with open(out_path, "w") as f:
+            for rec in rows:
+                f.write(json.dumps(rec) + "\n")
 
 
 if __name__ == "__main__":

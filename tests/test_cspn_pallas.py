@@ -178,3 +178,52 @@ def test_bwd_map_fallback_matches(rng, monkeypatch):
     dg_r, db_r = jax.grad(loss_ref, argnums=(0, 1))(g, b)
     np.testing.assert_allclose(np.asarray(dg_p), np.asarray(dg_r), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(db_p), np.asarray(db_r), rtol=1e-4, atol=1e-5)
+
+
+# --- bf16 HBM-I/O variant (io_dtype) ---------------------------------------
+
+
+def test_bf16_io_matches_rounded_reference(rng):
+    """io_dtype=bf16 computes EXACTLY the f32 function of bf16-rounded
+    inputs (the kernel upcasts at first use): pin against the reference on
+    pre-rounded inputs, and sanity-check it stays close to full f32."""
+    g, b, s = _inputs(rng)
+    gr = g.astype(jnp.bfloat16).astype(jnp.float32)
+    br = b.astype(jnp.bfloat16).astype(jnp.float32)
+    sr = s.astype(jnp.bfloat16).astype(jnp.float32)
+    want = cspn_ref.cspn2d_reference(gr, br, sr, steps=24)
+    got = cspn2d_pallas(g, b, s, steps=24, interpret=True, io_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+    full = cspn_ref.cspn2d_reference(g, b, s, steps=24)
+    err = np.max(np.abs(np.asarray(got) - np.asarray(full)))
+    assert err < 0.05, err  # bf16 input rounding, not divergence
+
+
+def test_bf16_io_dispatch_and_grads(rng):
+    """cspn2d(io_dtype=bf16) is differentiable and the reference backend's
+    rounded-input emulation matches the kernel's function."""
+    from cspn_tpu.ops.cspn import cspn2d
+
+    g, b, s = _inputs(rng, n=1, h=9, w=11)
+    out_k = cspn2d(g, b, s, steps=6, backend="pallas", io_dtype=jnp.bfloat16)
+    out_r = cspn2d(g, b, s, steps=6, backend="reference", io_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(g, b):
+        return jnp.sum(
+            cspn2d(g, b, s, steps=6, backend="pallas", io_dtype=jnp.bfloat16) ** 2
+        )
+
+    dg, db = jax.grad(loss, argnums=(0, 1))(g, b)
+    assert np.isfinite(np.asarray(dg)).all() and np.isfinite(np.asarray(db)).all()
+
+
+def test_bf16_io_extends_whole_image_range():
+    """2x704x1216 (KITTI double-height) fits the whole-image kernel under
+    bf16 I/O but not under f32 (where it routes to the tiled path)."""
+    from cspn_tpu.ops.cspn_pallas import fwd_fits_vmem
+
+    assert not fwd_fits_vmem(704, 1216, 4)
+    assert fwd_fits_vmem(704, 1216, 2)
+    assert fwd_fits_vmem(228, 304, 4)  # f32 flagship unchanged
