@@ -42,6 +42,30 @@ def unpool2x(x: jnp.ndarray, oheight: int, owidth: int) -> jnp.ndarray:
     return x[:, :oheight, :owidth, :]
 
 
+def _phase_taps(k: int, p: int) -> tuple[list[int], tuple[int, int]]:
+    """Valid source offsets s (with dy = 2s - p, |dy| <= k//2) for one
+    output phase p of the zero-insert-unpool + kxk conv, and the explicit
+    conv padding (lo, hi) that realizes out[y] = sum_s in[y+s] K[s].
+    The valid offsets are contiguous: k=5 -> {-1,0,1} / {0,1};
+    k=3 -> {0} / {0,1}."""
+    kh = k // 2
+    s_lo = -1 if k >= 5 else 0
+    ss = [s for s in range(s_lo, s_lo + kh + 2) if abs(2 * s - p) <= kh]
+    return ss, (-ss[0], ss[-1])
+
+
+def _phase_kernel(w: jnp.ndarray, k: int, px: int, py: int) -> jnp.ndarray:
+    """Exact (zero-free) kernel of one output phase: rows/cols are the
+    VALID taps only, unlike _subpixel_weights which zero-pads every phase
+    to the common SxS grid (k=5: 25 real taps vs 36 padded slots -- the
+    padded form spends 44% of its MXU FLOPs on structural zeros)."""
+    kh = k // 2
+    ss, _ = _phase_taps(k, py)
+    ts, _ = _phase_taps(k, px)
+    rows = jnp.stack([w[2 * s - py + kh] for s in ss], axis=0)
+    return jnp.stack([rows[:, 2 * t - px + kh] for t in ts], axis=1)
+
+
 def _subpixel_weights(w: jnp.ndarray, k: int) -> jnp.ndarray:
     """Reindex a k x k kernel (HWIO) applied to a zero-inserted 2x upsample
     into an S x S kernel at half resolution producing 4 phase groups
@@ -119,14 +143,39 @@ class SubpixelUnpoolConv(nn.Module):
             # the reindex's HBM traffic (it runs every train step)
             x = x.astype(self.dtype)
             w = w.astype(self.dtype)
-        w2 = _subpixel_weights(w, k)
-        y = jax.lax.conv_general_dilated(
-            x,
-            w2,
-            window_strides=(1, 1),
-            padding=(pad, pad),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        if self.features >= 128:
+            # phase-SPLIT execution: one exact small conv per output phase
+            # instead of one conv over the zero-padded common tap grid.
+            # k=5 spends 25 real taps vs 36 padded slots, so the fused form
+            # wastes 44% of its MXU FLOPs on structural zeros; the split
+            # measured 13-24% faster at the flagship's three big decoder
+            # stages and WORSE at small per-phase channel counts
+            # (result/subpixel_split_probe.json) -- hence the >=128 gate.
+            # px-major concat preserves the depth_to_space2 channel layout.
+            parts = []
+            for px2 in range(2):
+                for py2 in range(2):
+                    _, (plo_h, phi_h) = _phase_taps(k, py2)
+                    _, (plo_w, phi_w) = _phase_taps(k, px2)
+                    parts.append(
+                        jax.lax.conv_general_dilated(
+                            x,
+                            _phase_kernel(w, k, px2, py2),
+                            window_strides=(1, 1),
+                            padding=((plo_h, phi_h), (plo_w, phi_w)),
+                            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                        )
+                    )
+            y = jnp.concatenate(parts, axis=-1)
+        else:
+            w2 = _subpixel_weights(w, k)
+            y = jax.lax.conv_general_dilated(
+                x,
+                w2,
+                window_strides=(1, 1),
+                padding=(pad, pad),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         # jnp backend: the Pallas single-pass interleave measured SLOWER
         # in-model than XLA's two-pass lowering (see ops/d2s_pallas.py)
         return depth_to_space2(y, self.oheight, self.owidth)

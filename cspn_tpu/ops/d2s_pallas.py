@@ -23,6 +23,17 @@ permutation matmul is exact in bf16 (single nonzero term, f32 accumulate) and
 f32 (bf16x3 decomposition), so the kernel is bit-identical to the jnp
 formulation, forward and adjoint (verified on hardware).
 
+MEASURED RESULT 2 (v5e, 2026-08-21, scripts/d2s_probe.py ->
+result/d2s_probe.json): four XLA-level reformulations (py-major
+slice + minor-merge + row-stack, strided .at[::2].set scatter, dilated
+pad+add, py-major single transpose) were benched against the production
+px-major reshape/transpose/reshape at all five flagship decoder shapes
+with chained-varying inputs and full-reduction coupling.  The production
+formulation is fastest or tied at every shape (e.g. 29x38x1024:
+3.2 ms = 4.6x one-pass SoL; the alternatives 3.2-4.4 ms); the relayout
+floor on this hardware is shuffle-throughput-bound no matter how it is
+expressed.  Treat ~4-6x SoL as the cost of depth-to-space here.
+
 MEASURED RESULT (v5e, 2026-08-19): the kernel does NOT beat XLA in-model and
 is therefore not wired in.  Per-row small matmuls + lane-offset stores leave
 it at ~2.3-2.4 ms for the [64,57,76,256]bf16 level (vs 1.9 ms for XLA's

@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--out", default="/tmp/eval_trace")
+    ap.add_argument("--json-out", default=None,
+                    help="write the per-op rollup as a JSON artifact "
+                         "(e.g. result/eval_profile.json)")
     args = ap.parse_args()
 
     import jax
@@ -95,6 +98,36 @@ def main():
         print(f"  {ms / args.steps:7.3f} {cat:16s} {name[:36]:38s} {src}")
         if ln:
             print(f"          {ln}")
+
+    if args.json_out:
+        import jax as _jax
+
+        rec = {
+            "what": "flagship eval per-op device-time rollup "
+                    "(jax.profiler 'XLA Ops' lane; scripts/eval_profile.py)",
+            "platform": _jax.devices()[0].platform,
+            "batch": args.batch,
+            "dtype": args.dtype,
+            "ms_per_step": round(total / args.steps, 3),
+            "frames_per_s": round(args.batch / (total / args.steps / 1e3), 1),
+            "by_category_ms_per_step": {
+                cat: round(ms / args.steps, 3) for cat, ms in by_cat.most_common()
+            },
+            "top_ops_ms_per_step": [
+                {
+                    "name": name[:60],
+                    "ms": round(ms / args.steps, 3),
+                    "category": meta[name][0],
+                    "source": meta[name][1],
+                    "long_name": meta[name][2],
+                }
+                for name, ms in sorted(agg.items(), key=lambda kv: -kv[1])[: args.top]
+            ],
+        }
+        os.makedirs(os.path.dirname(args.json_out) or ".", exist_ok=True)
+        with open(args.json_out, "w") as f:
+            json.dump(rec, f, indent=1)
+        print(f"wrote {args.json_out}")
 
 
 if __name__ == "__main__":

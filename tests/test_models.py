@@ -150,3 +150,27 @@ def test_fused_heads_match_separate(rng):
     out_f = np.asarray(fused.apply(v, x))
     out_p = np.asarray(plain.apply(v, x))
     np.testing.assert_allclose(out_f, out_p, rtol=1e-5, atol=1e-6)
+
+
+def test_subpixel_phase_split_exact():
+    """The phase-SPLIT subpixel execution (features >= 128: one exact small
+    conv per phase, no zero-padded tap slots) equals the unpool2x + kxk
+    conv composition with the same 'kernel' parameter -- both k=5 decoder
+    and k=3 head geometry."""
+    import jax
+    from cspn_tpu.models.decoder import SubpixelUnpoolConv, unpool2x
+
+    rng = np.random.default_rng(11)
+    for k, cin, cout in [(5, 16, 128), (3, 16, 128)]:
+        h, w = 6, 7
+        x = jnp.asarray(rng.standard_normal((2, h, w, cin)), jnp.float32)
+        m = SubpixelUnpoolConv(cout, k, 2 * h - 1, 2 * w - 1)
+        v = m.init(jax.random.PRNGKey(0), x)
+        y_split = m.apply(v, x)
+        pad = (k - 1) // 2
+        y_ref = jax.lax.conv_general_dilated(
+            unpool2x(x, 2 * h - 1, 2 * w - 1), v["params"]["kernel"], (1, 1),
+            ((pad, pad), (pad, pad)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        np.testing.assert_allclose(np.asarray(y_split), np.asarray(y_ref),
+                                   rtol=1e-5, atol=1e-5)
