@@ -128,12 +128,28 @@ def main():
         b = cspn.fit(args.finetune_epochs)
         per_seed["cspn"].append(b)
         print(f"seed {seed} cspn: {b}", flush=True)
+        _write(args, per_seed, seed + 1)
+
+    _write(args, per_seed, args.seeds)
+
+
+def _write(args, per_seed, n_seeds):
+    import jax
+    import numpy as np
 
     results = {
         arm: {k: round(sum(r[k] for r in rs) / len(rs), 4) for k in rs[0]}
         for arm, rs in per_seed.items()
     }
-    print(f"means over {args.seeds} seed(s): {results}", flush=True)
+    print(f"means over {n_seeds} seed(s): {results}", flush=True)
+    # paired per-seed deltas (reference 5-run-averaging evidentiary
+    # standard, cspn_pytorch/README.md:73): mean improvement +- paired std
+    paired = {}
+    for k in ("EPE", "3px", "D1"):
+        d = [per_seed["no_cspn"][i][k] - per_seed["cspn"][i][k]
+             for i in range(n_seeds)]
+        paired[k] = {"mean": round(float(np.mean(d)), 4),
+                     "std": round(float(np.std(d)), 4)}
 
     rec = {
         "what": "PSMNet stereo: fine-tune +-3D-CSPN cost-volume refinement "
@@ -149,9 +165,10 @@ def main():
             "pretrain_epochs": args.pretrain_epochs,
             "finetune_epochs": args.finetune_epochs,
             "train_frames": args.train_size,
-            "seeds": args.seeds,
+            "seeds": n_seeds,
             "freeze_base": args.freeze_base,
         },
+        "paired_improvement": paired,
         "no_cspn": results["no_cspn"],
         "cspn": results["cspn"],
         "per_seed": {
