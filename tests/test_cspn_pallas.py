@@ -131,7 +131,8 @@ def test_tiled_forward_matches_oracle(rng, monkeypatch, h):
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-5, atol=1e-6)
 
     # dispatch: fwd too large but tiled fits -> tiled path
-    monkeypatch.setattr(cspn_pallas, "fwd_fits_vmem", lambda h, w: False)
+    monkeypatch.setattr(cspn_pallas, "fwd_fits_vmem",
+                        lambda h, w, io_bytes=4: False)
     monkeypatch.setattr(cspn, "_default_backend", lambda: "pallas")
     out2 = cspn.cspn2d(g, b, s, steps=steps, backend="auto")
     np.testing.assert_allclose(np.asarray(out2), np.asarray(want), rtol=1e-5, atol=1e-6)
