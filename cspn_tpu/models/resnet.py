@@ -26,8 +26,11 @@ class _TorchStatsBatchNorm(nn.Module):
     """flax ``nn.BatchNorm`` with torch's running-statistics semantics.
 
     Identical math to flax for normalization (biased batch variance, f32
-    stats, same `_normalize` op order/dtype promotion), but the running-var
-    update uses the UNBIASED batch variance (Bessel n/(n-1)) exactly like
+    stats, same `_normalize` op order/dtype promotion — that logic is
+    inlined below rather than imported from flax's private
+    ``normalization._compute_stats``/``_normalize`` helpers, whose
+    signatures change across releases), but the running-var update uses
+    the UNBIASED batch variance (Bessel n/(n-1)) exactly like
     ``torch.nn.modules.batchnorm._BatchNorm.forward`` — flax updates with
     the biased variance, which drifts the running stats by n/(n-1) per
     step vs a torch-trained model.  Pinned against executed torch BN in
@@ -41,9 +44,8 @@ class _TorchStatsBatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from flax.linen import normalization as _nm
+        import jax as _jax
 
-        feature_axes = (x.ndim - 1,)
         reduction_axes = tuple(range(x.ndim - 1))
         feature_shape = [x.shape[-1]]
         ra_mean = self.variable(
@@ -57,19 +59,27 @@ class _TorchStatsBatchNorm(nn.Module):
         if self.use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
-            mean, var = _nm._compute_stats(
-                x,
-                reduction_axes,
-                dtype=self.dtype,
-                axis_name=self.axis_name if not self.is_initializing() else None,
+            # batch statistics at >= f32 (flax _compute_stats semantics:
+            # promote, fast variance E[x^2]-E[x]^2 clipped at 0, one
+            # stacked pmean across the data axis)
+            stat_dtype = jnp.promote_types(
+                jnp.result_type(x) if self.dtype is None else self.dtype,
+                jnp.float32,
             )
+            xs = x.astype(stat_dtype)
+            mean = xs.mean(reduction_axes)
+            mean2 = jnp.square(xs).mean(reduction_axes)
+            axis_name = self.axis_name if not self.is_initializing() else None
+            if axis_name is not None:
+                mean, mean2 = _jax.lax.pmean(
+                    jnp.stack([mean, mean2]), axis_name
+                )
+            var = jnp.maximum(0.0, mean2 - jnp.square(mean))
             if not self.is_initializing():
                 n = 1.0
                 for ax in reduction_axes:
                     n *= x.shape[ax]
                 if self.axis_name is not None:
-                    import jax as _jax
-
                     n = n * _jax.lax.psum(1.0, self.axis_name)
                 bessel = n / (n - 1.0) if n > 1.0 else 1.0
                 ra_mean.value = (
@@ -79,21 +89,27 @@ class _TorchStatsBatchNorm(nn.Module):
                     self.momentum * ra_var.value
                     + (1 - self.momentum) * var * bessel
                 )
-        return _nm._normalize(
-            self,
-            x,
-            mean,
-            var,
-            reduction_axes,
-            feature_axes,
-            self.dtype,
-            jnp.float32,
-            self.epsilon,
-            True,
-            True,
-            nn.initializers.zeros,
-            nn.initializers.ones,
+        # normalization (flax _normalize semantics: subtract/scale in the
+        # promoted dtype, scale param folded into rsqrt, output dtype =
+        # self.dtype or result_type(x, scale, bias))
+        bshape = [1] * (x.ndim - 1) + feature_shape
+        mean_b = mean.reshape(bshape)
+        var_b = var.reshape(bshape)
+        y = x - mean_b
+        mul = _jax.lax.rsqrt(var_b + self.epsilon)
+        scale = self.param(
+            "scale", nn.initializers.ones, feature_shape, jnp.float32
+        ).reshape(bshape)
+        mul = mul * scale
+        y = y * mul
+        bias = self.param(
+            "bias", nn.initializers.zeros, feature_shape, jnp.float32
+        ).reshape(bshape)
+        y = y + bias
+        out_dtype = (
+            jnp.result_type(x, scale, bias) if self.dtype is None else self.dtype
         )
+        return jnp.asarray(y, out_dtype)
 
 
 class BatchNorm(nn.Module):

@@ -64,10 +64,20 @@ def cspn2d(
             # row-tiled fused path (all steps per tile in VMEM, steps-row
             # halos; ~1 normalize pass + ~1.2x one plane read/write of HBM
             # traffic instead of ~10 planes per step for composed XLA).
-            # io_dtype deliberately not plumbed here: under bf16 I/O the
-            # whole-image kernel already covers 2x704x1216, and the tiled
-            # path is ~90% VPU-compute-bound (docs/SCALING.md), so halved
-            # DMA would buy <8%.
+            # io_dtype is emulated by rounding the inputs (same function:
+            # the kernels upcast at first use) rather than plumbed into the
+            # tile DMAs: under bf16 I/O the whole-image kernel already
+            # covers 2x704x1216, and the tiled path is ~90% VPU-compute-
+            # bound (docs/SCALING.md), so halved DMA would buy <8% -- but
+            # the rounding must still happen or this one shape class would
+            # silently compute the full-f32 function while every other
+            # io_dtype path (fused, reference/CPU) rounds.
+            if io_dtype is not None:
+                dt = jnp.dtype(io_dtype)
+                guidance = guidance.astype(dt).astype(jnp.float32)
+                blur_depth = blur_depth.astype(dt).astype(jnp.float32)
+                if sparse_depth is not None:
+                    sparse_depth = sparse_depth.astype(dt).astype(jnp.float32)
             return cspn_pallas.cspn2d_tiled(
                 guidance, blur_depth, sparse_depth, steps=steps, norm_type=norm_type
             )
