@@ -413,7 +413,9 @@ def _pick_ckpt_every(steps: int) -> int:
     return 1
 
 
-def bwd3_fits_vmem(d_sz: int, h: int, w: int, steps: int) -> bool:
+def bwd3_fits_vmem(
+    d_sz: int, h: int, w: int, steps: int, gate_bytes: int = 2
+) -> bool:
     """Whole-volume fused-backward VMEM budget (post lane/sublane padding)."""
     hp, wp = h + (-h) % 8, w + (-w) % 128
     ck = _pick_ckpt_every(steps)
@@ -421,7 +423,7 @@ def bwd3_fits_vmem(d_sz: int, h: int, w: int, steps: int) -> bool:
     plane = d_sz * hp * wp * 4
     pad_plane = (d_sz + 2) * (hp + 8) * wp * 4
     need = (
-        26 * d_sz * hp * wp * 2  # gate input (bf16)
+        26 * d_sz * hp * wp * gate_bytes  # gate input
         + 26 * plane  # wbar output (f32)
         + 3 * plane  # x, ct, x0bar
         + 2 * pad_plane  # xpad, vpad
@@ -440,12 +442,16 @@ def affinity_propagate3d_fused_bwd(
     *,
     steps: int = 24,
     interpret: bool | None = None,
+    gate_dtype=jnp.bfloat16,
 ):
     """Fused VJP of `steps` whole-volume propagation iterations.
 
     feat/ct: [N, D, H, W] f32;  gates: [N, 26, D, H, W] normalized (same
     contract as affinity_propagate3d_fused).  Returns (wbar, x0bar) =
-    cotangents w.r.t. (gates, feat).  Caller guards with bwd3_fits_vmem.
+    cotangents w.r.t. (gates, feat).  Caller guards with bwd3_fits_vmem
+    (pass the matching gate_bytes).  gate_dtype=float32 keeps the resident
+    gate volume exact (used by the sharded halo segments, whose f32 path
+    is pinned against the oracle); the default bf16 halves it.
     """
     if interpret is None:
         try:
@@ -466,6 +472,7 @@ def affinity_propagate3d_fused_bwd(
             jnp.pad(ct, pads),
             steps=steps,
             interpret=interpret,
+            gate_dtype=gate_dtype,
         )
         return wbar[..., :h0, :w0], x0bar[..., :h0, :w0]
 
@@ -478,7 +485,7 @@ def affinity_propagate3d_fused_bwd(
     g_un = jnp.stack(
         [_xla_shift_w(gates[:, d], -_OFFS3[d][2]) for d in range(26)],
         axis=1,
-    ).astype(jnp.bfloat16)
+    ).astype(gate_dtype)
 
     kernel = functools.partial(
         _bwd3_kernel, steps=steps, ckpt_every=ckpt_every

@@ -252,6 +252,16 @@ def _halo3_segment_fwd(w_cf, x, k_steps):
 
 def _halo3_segment_bwd(k_steps, residuals, ct):
     w_cf, x = residuals
+    from cspn_tpu.ops import cspn3d_pallas
+
+    n, _, d_sz, h, w = w_cf.shape
+    if cspn3d_pallas.bwd3_fits_vmem(d_sz, h, w, k_steps, gate_bytes=4):
+        # fused in-VMEM replay + adjoint sweep (cspn3d_pallas._bwd3_kernel);
+        # f32-resident gates so the sharded path keeps matching the f32
+        # oracle exactly (same reason as the forward segment above)
+        return cspn3d_pallas.affinity_propagate3d_fused_bwd(
+            x, w_cf, ct, steps=k_steps, gate_dtype=jnp.float32
+        )
     offsets = neighbor_offsets(3, 3)
     _, vjp = jax.vjp(
         lambda w, xx: _seg_nd_ref_cf(w, xx, k_steps, offsets, (-3, -2, -1)),
