@@ -337,3 +337,54 @@ def test_spatial_autotuned_halo_matches_oracle(mesh24):
     for steps, ext, px, b_ in [(24, 114, 304, 16), (24, 4, 304, 1), (1, 64, 64, 1)]:
         k = choose_halo(steps, ext, px, b_)
         assert 1 <= k <= max(1, min(steps, ext - 1))
+
+
+# --- HLO-level cost-model pinning (docs/SCALING.md; VERDICT r3 #2) ---------
+
+
+@pytest.mark.parametrize("steps,halo,has_sparse", [
+    (24, 4, True), (24, 2, True), (6, 2, False),
+])
+def test_hlo_ppermute_rounds_2d(mesh24, steps, halo, has_sparse):
+    """The compiled sharded forward emits exactly the collective-permute
+    count the halo cost model prices: one pair per initial input exchange
+    plus one pair per K-step refresh (ceil(steps/K) - 1 refreshes)."""
+    from cspn_tpu.parallel.hlo_checks import (
+        count_collective_permutes,
+        expected_ppermutes_2d,
+    )
+
+    g, b, s = _inputs(n=2, h=32, w=16)
+    fn = jax.jit(
+        lambda g, b, s: cspn2d_spatial(
+            g, b, s if has_sparse else None,
+            mesh=mesh24, steps=steps, halo=halo, fused=False,
+        )
+    )
+    text = fn.lower(g, b, s).compile().as_text()
+    got = count_collective_permutes(text)
+    assert got == expected_ppermutes_2d(steps, halo, has_sparse), (
+        got, expected_ppermutes_2d(steps, halo, has_sparse)
+    )
+
+
+def test_hlo_ppermute_rounds_nd(mesh24):
+    from cspn_tpu.parallel.hlo_checks import (
+        count_collective_permutes,
+        expected_ppermutes_nd,
+    )
+
+    rng = np.random.default_rng(3)
+    # D=16 over spatial=4 -> local extent 4, so halo=2 is NOT capped by the
+    # k <= local-1 clamp (expected_ppermutes_* take the effective k)
+    guide = jnp.asarray(rng.standard_normal((2, 16, 6, 10, 26), dtype=np.float32))
+    feat = jnp.asarray(rng.standard_normal((2, 16, 6, 10, 1), dtype=np.float32))
+    steps, halo = 8, 2
+    fn = jax.jit(
+        lambda g, f: cspn_nd_spatial(
+            g, f, mesh=mesh24, steps=steps, halo=halo, fused=False
+        )
+    )
+    text = fn.lower(guide, feat).compile().as_text()
+    got = count_collective_permutes(text)
+    assert got == expected_ppermutes_nd(steps, halo), got
