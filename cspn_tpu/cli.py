@@ -28,6 +28,12 @@ def _add_common_overrides(p: argparse.ArgumentParser):
                         "img: two-column manifest of (rgb, depth) images")
     p.add_argument("--batch-size-train", type=int, default=None)
     p.add_argument("--batch-size-eval", type=int, default=None)
+    p.add_argument("--num-workers", dest="num_workers", type=int, default=None,
+                   help="loader workers (reference train.py:117 workers=2)")
+    p.add_argument("--worker-mode", dest="worker_mode", default=None,
+                   choices=["thread", "process"],
+                   help="loader worker model; 'process' scales the "
+                        "Python-heavy augmentation past the GIL")
     p.add_argument("--model", default=None, help="resnet18|34|50|101|152")
     p.add_argument("--no-cspn", action="store_true", help="baseline model")
     p.add_argument("--cspn-step", type=int, default=None)
@@ -93,6 +99,8 @@ def _build_config(args):
         ("input_format", data, "input_format"),
         ("batch_size_train", data, "batch_size_train"),
         ("batch_size_eval", data, "batch_size_eval"),
+        ("num_workers", data, "num_workers"),
+        ("worker_mode", data, "worker_mode"),
         ("model", model, "arch"),
         ("cspn_step", model, "cspn_steps"),
         ("cspn_norm_type", model, "cspn_norm_type"),

@@ -46,6 +46,10 @@ class DataConfig:
     batch_size_train: int = 8
     batch_size_eval: int = 1
     num_workers: int = 4
+    # 'thread' | 'process' (data/loader.py): threads knee on the GIL for the
+    # Python-heavy augmentation chain; process workers scale per-core like
+    # the reference's torch DataLoader workers (result/loader_bench.json)
+    worker_mode: str = "thread"
     seed: Optional[int] = None
     # geometry overrides (None = dataset default).  crop_hw: output (H, W);
     # box_crop: pre-crop box (left, right, upper, lower) or () to disable

@@ -1,10 +1,18 @@
 """Batched, prefetching data loader (reference L2: torch DataLoader usage,
 train.py:115-135).
 
-A dependency-free loader: worker threads (PIL/h5py release the GIL in their
-C cores) map dataset indices to samples, batches are stacked numpy arrays,
-and a bounded in-flight window overlaps host preprocessing with device steps.
-Batches are emitted in deterministic order.
+A dependency-free loader: workers map dataset indices to samples, batches
+are stacked numpy arrays, and a bounded in-flight window overlaps host
+preprocessing with device steps.  Batches are emitted in deterministic
+order.  Two worker modes:
+
+  - 'thread' (default): worker threads — PIL/h5py release the GIL in
+    their C cores, so IO/decode scales, but pure-Python augmentation work
+    serializes on the GIL (measured knee: result/loader_bench.json);
+  - 'process': persistent fork()ed worker processes fed batch indices over
+    a queue (the reference's torch DataLoader worker model,
+    train.py:115-120) — full per-core scaling for the Python-heavy
+    augmentation chain at the cost of one pickle copy per batch.
 
 Multi-host data parallelism: `shard=(index, count)` statically partitions the
 index space per host (per-host input pipelines; SURVEY.md §2.6).
@@ -13,9 +21,25 @@ index space per host (per-host input pipelines; SURVEY.md §2.6).
 from __future__ import annotations
 
 import threading
+import traceback
 from typing import Iterator
 
 import numpy as np
+
+
+def _process_worker(dataset, batches, task_q, result_q):
+    """Worker-process loop: pull a batch index, build the batch, push it.
+    Errors travel back as (i, ('error', traceback_str))."""
+    while True:
+        i = task_q.get()
+        if i is None:
+            return
+        try:
+            samples = [dataset[int(j)] for j in batches[i]]
+            payload = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+            result_q.put((i, payload))
+        except Exception:
+            result_q.put((i, ("error", traceback.format_exc())))
 
 
 class DataLoader:
@@ -30,7 +54,10 @@ class DataLoader:
         prefetch: int = 4,
         seed: int = 0,
         shard: tuple[int, int] = (0, 1),
+        worker_mode: str = "thread",
     ):
+        if worker_mode not in ("thread", "process"):
+            raise ValueError(f"worker_mode must be thread|process: {worker_mode!r}")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -39,6 +66,7 @@ class DataLoader:
         self.prefetch = max(1, prefetch)
         self.seed = seed
         self.shard_index, self.shard_count = shard
+        self.worker_mode = worker_mode
         self._epoch = 0
 
     def _indices(self) -> np.ndarray:
@@ -62,6 +90,9 @@ class DataLoader:
             indices[i * self.batch_size : (i + 1) * self.batch_size]
             for i in range(n_batches)
         ]
+        if self.worker_mode == "process":
+            yield from self._iter_processes(batches)
+            return
 
         cond = threading.Condition()
         results: dict[int, object] = {}
@@ -114,3 +145,46 @@ class DataLoader:
                 cond.notify_all()
             for t in threads:
                 t.join(timeout=2.0)
+
+    def _iter_processes(self, batches) -> Iterator[dict[str, np.ndarray]]:
+        import multiprocessing as mp
+
+        ctx = mp.get_context("fork")  # dataset rides into workers for free
+        task_q = ctx.Queue()
+        result_q = ctx.Queue()
+        procs = [
+            ctx.Process(
+                target=_process_worker,
+                args=(self.dataset, batches, task_q, result_q),
+                daemon=True,
+            )
+            for _ in range(self.num_workers)
+        ]
+        for p in procs:
+            p.start()
+        try:
+            n_batches = len(batches)
+            window = self.prefetch + self.num_workers
+            next_task = 0
+            while next_task < min(window, n_batches):
+                task_q.put(next_task)
+                next_task += 1
+            buffered: dict[int, dict] = {}
+            for i in range(n_batches):
+                while i not in buffered:
+                    j, payload = result_q.get()
+                    buffered[j] = payload
+                if next_task < n_batches:
+                    task_q.put(next_task)
+                    next_task += 1
+                item = buffered.pop(i)
+                if isinstance(item, tuple) and item and item[0] == "error":
+                    raise RuntimeError(f"DataLoader worker failed:\n{item[1]}")
+                yield item
+        finally:
+            for _ in procs:
+                task_q.put(None)
+            for p in procs:
+                p.join(timeout=2.0)
+                if p.is_alive():
+                    p.terminate()

@@ -136,3 +136,95 @@ def depth_to_array(img: Image.Image) -> np.ndarray:
 def unnormalize(arr: np.ndarray, mean=IMAGENET_MEAN, std=IMAGENET_STD) -> np.ndarray:
     """Inverse of Normalize (reference utils.un_normalize, utils.py:175-180)."""
     return arr * np.asarray(std, np.float32) + np.asarray(mean, np.float32)
+
+
+# --- transforms the reference ships but never chains ------------------------
+# (data_transform.py:112-139, 313-321, 386-428).  Provided for API parity so
+# user pipelines built against the reference's library keep working; the
+# canonical NYU/KITTI chains above never call them, same as upstream.
+
+
+class DepthNormalize:
+    """(depth - mean) / std on a raw depth array (data_transform.py:313-321)."""
+
+    def __init__(self, mean: float, std: float):
+        self.mean = mean
+        self.std = std
+
+    def __call__(self, depth: np.ndarray) -> np.ndarray:
+        return (depth - self.mean) / self.std
+
+
+class CenterCropRectangle:
+    """Center crop an HW(C) array to (height, width) (data_transform.py:417-428)."""
+
+    def __init__(self, height: int, width: int):
+        self.height = height
+        self.width = width
+
+    def __call__(self, arr: np.ndarray) -> np.ndarray:
+        h, w = arr.shape[:2]
+        top = (h - self.height) // 2
+        left = (w - self.width) // 2
+        return arr[top : top + self.height, left : left + self.width]
+
+
+class Scale:
+    """Array smaller-edge scale (data_transform.py:386-415).
+
+    The reference routes through skimage.transform.resize, which rescales
+    integer inputs to [0, 1] floats; reproduced here with PIL resampling
+    (bicubic/bilinear/nearest per the same `interpolation` strings)."""
+
+    _RESAMPLE = {
+        "bicubic": Image.BICUBIC,
+        "nearest": Image.NEAREST,
+        "bilinear": Image.BILINEAR,
+    }
+
+    def __init__(self, size, interpolation: str = "bicubic"):
+        self.output_size = size
+        self.resample = self._RESAMPLE.get(interpolation, Image.BILINEAR)
+
+    def __call__(self, arr: np.ndarray) -> np.ndarray:
+        h, w = arr.shape[:2]
+        if isinstance(self.output_size, int):
+            if h > w:
+                new_h, new_w = self.output_size * h // w, self.output_size
+            else:
+                new_h, new_w = self.output_size, self.output_size * w // h
+        else:
+            new_h, new_w = self.output_size
+        if np.issubdtype(arr.dtype, np.integer):  # skimage img_as_float
+            arr = arr.astype(np.float32) / np.float32(np.iinfo(arr.dtype).max)
+        arr = arr.astype(np.float32)
+        if arr.ndim == 2:
+            planes = [arr]
+        else:
+            planes = [arr[..., i] for i in range(arr.shape[-1])]
+        out = [
+            np.asarray(
+                Image.fromarray(p, mode="F").resize(
+                    (new_w, new_h), self.resample
+                ),
+                dtype=np.float32,
+            )
+            for p in planes
+        ]
+        return out[0] if arr.ndim == 2 else np.stack(out, axis=-1)
+
+
+class ToPILImage:
+    """ndarray (HWC or HW) -> PIL Image, value range preserved
+    (data_transform.py:112-139)."""
+
+    def __init__(self, mode=None):
+        self.mode = mode
+
+    def __call__(self, pic) -> Image.Image:
+        arr = np.asarray(pic)
+        if arr.ndim == 3 and arr.shape[2] == 1:
+            arr = arr[..., 0]
+        if arr.ndim == 2 and self.mode is None and arr.dtype == np.float32:
+            return Image.fromarray(arr, mode="F")
+        return Image.fromarray(arr, mode=self.mode)

@@ -54,6 +54,7 @@ def build_dataset(cfg: RunConfig, split: str, seed=None, return_raw_rgb=False):
 def build_loaders(cfg: RunConfig, shard=(0, 1)):
     train_ds = build_dataset(cfg, "train")
     val_ds = build_dataset(cfg, "val", seed=0)
+    mode = getattr(cfg.data, "worker_mode", "thread")
     train_loader = DataLoader(
         train_ds,
         cfg.data.batch_size_train,
@@ -61,11 +62,13 @@ def build_loaders(cfg: RunConfig, shard=(0, 1)):
         drop_last=True,
         num_workers=cfg.data.num_workers,
         shard=shard,
+        worker_mode=mode,
     )
     val_loader = DataLoader(
         val_ds,
         cfg.data.batch_size_eval,
         shuffle=False,
         num_workers=cfg.data.num_workers,
+        worker_mode=mode,
     )
     return train_loader, val_loader

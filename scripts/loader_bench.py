@@ -73,7 +73,7 @@ def make_fixtures(root: str, frames: int) -> tuple[str, str]:
 
 
 def bench_one(csv_file, input_format, split, use_native, workers, batch,
-              epochs=3) -> float:
+              epochs=3, worker_mode="thread") -> float:
     from cspn_tpu.data import DataLoader
     from cspn_tpu.data.datasets import NyuDepthDataset
 
@@ -82,7 +82,8 @@ def bench_one(csv_file, input_format, split, use_native, workers, batch,
         input_format=input_format,
     )
     loader = DataLoader(ds, batch, shuffle=(split == "train"),
-                        drop_last=True, num_workers=workers)
+                        drop_last=True, num_workers=workers,
+                        worker_mode=worker_mode)
     # epoch 0 warms the page cache and any lazy library init
     n = 0
     for b in loader:
@@ -111,19 +112,26 @@ def main():
         cores = os.cpu_count() or 1
         rows = []
         cfgs = [
-            ("hdf5", "train", True, 1),
-            ("hdf5", "train", True, 2),
-            ("hdf5", "train", True, max(4, cores)),
-            ("hdf5", "train", False, 2),
-            ("hdf5", "val", True, 2),
-            ("hdf5", "val", False, 2),
-            ("img", "train", True, 2),
+            # mode, fmt, split, native, workers — the thread sweep exposes
+            # the GIL knee; the process sweep gives true per-core scaling
+            ("thread", "hdf5", "train", True, 1),
+            ("thread", "hdf5", "train", True, 2),
+            ("thread", "hdf5", "train", True, max(4, cores)),
+            ("process", "hdf5", "train", True, 1),
+            ("process", "hdf5", "train", True, 2),
+            ("process", "hdf5", "train", True, max(4, cores)),
+            ("thread", "hdf5", "train", False, 2),
+            ("thread", "hdf5", "val", True, 2),
+            ("process", "hdf5", "val", True, 2),
+            ("thread", "hdf5", "val", False, 2),
+            ("thread", "img", "train", True, 2),
         ]
-        for fmt, split, native, workers in cfgs:
+        for mode, fmt, split, native, workers in cfgs:
             fps = bench_one(img_csv if fmt == "img" else h5_csv, fmt, split,
-                            native, workers, args.batch)
-            rec = {"format": fmt, "split": split, "native": native,
-                   "workers": workers, "frames_per_s": round(fps, 1),
+                            native, workers, args.batch, worker_mode=mode)
+            rec = {"mode": mode, "format": fmt, "split": split,
+                   "native": native, "workers": workers,
+                   "frames_per_s": round(fps, 1),
                    "frames_per_s_per_worker": round(fps / min(workers, cores), 1)}
             rows.append(rec)
             print(rec, flush=True)

@@ -302,3 +302,54 @@ def test_reads_reference_datalists_at_scale():
     assert train[0] == "data/nyudepth_hdf5/train/kitchen_0006/00081.h5"
     assert all(p.endswith(".h5") for p in val)
     assert val[0].startswith("data/nyudepth_hdf5/val/official/")
+
+
+def test_loader_process_workers_match_thread_workers():
+    """worker_mode='process' yields identical batches in identical order to
+    the thread mode (deterministic dataset + deterministic batch order)."""
+    ds = SyntheticDepthDataset(length=12, hw=(16, 24), n_sample=20)
+    kw = dict(batch_size=4, shuffle=True, seed=7, drop_last=True, num_workers=2)
+    thread_batches = list(DataLoader(ds, worker_mode="thread", **kw))
+    proc_batches = list(DataLoader(ds, worker_mode="process", **kw))
+    assert len(proc_batches) == len(thread_batches) == 3
+    for bt, bp in zip(thread_batches, proc_batches):
+        np.testing.assert_array_equal(bt["rgbd"], bp["rgbd"])
+        np.testing.assert_array_equal(bt["depth"], bp["depth"])
+
+
+def test_loader_process_workers_propagate_errors():
+    class Bad:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError, match="boom"):
+        list(DataLoader(Bad(), batch_size=2, num_workers=2,
+                        worker_mode="process"))
+
+
+def test_parity_only_transforms():
+    """The reference ships Scale/CenterCropRectangle/DepthNormalize/
+    ToPILImage without ever chaining them (data_transform.py:112-428);
+    the thin API-parity implementations behave per the reference code."""
+    rng = np.random.default_rng(0)
+    arr = rng.random((20, 30, 3)).astype(np.float32)
+    # center crop
+    c = T.CenterCropRectangle(10, 12)(arr)
+    assert c.shape == (10, 12, 3)
+    np.testing.assert_array_equal(c, arr[5:15, 9:21])
+    # depth normalize
+    d = rng.random((8, 8)).astype(np.float32)
+    np.testing.assert_allclose(T.DepthNormalize(2.0, 4.0)(d), (d - 2.0) / 4.0)
+    # smaller-edge scale: h>w -> width pinned to size
+    s = T.Scale(15, interpolation="nearest")(rng.random((40, 20)).astype(np.float32))
+    assert s.shape == (30, 15)
+    # integer input rescaled to [0,1] floats (skimage img_as_float quirk)
+    u8 = (rng.random((16, 16)) * 255).astype(np.uint8)
+    su = T.Scale(8, interpolation="nearest")(u8)
+    assert su.dtype == np.float32 and su.max() <= 1.0
+    # ToPILImage round-trips float depth exactly via mode 'F'
+    img = T.ToPILImage()(d)
+    np.testing.assert_array_equal(np.asarray(img, np.float32), d)
