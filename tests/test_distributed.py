@@ -56,6 +56,65 @@ def test_n1_coordinator_initialize_executes():
     assert "N1_INIT_OK" in r.stdout, (r.stdout, r.stderr[-2000:])
 
 
+def test_two_process_localhost_psum():
+    """REAL multi-process handshake: two processes, one coordinator, a
+    cross-process collective (process_allgather = all-gather over the
+    loopback DCN path), and clean shutdown — the code path that single-
+    process tests only compile (SURVEY.md §2.6 comm-backend row)."""
+    import pytest
+
+    import os
+
+    import pytest as _pytest
+
+    _pytest.importorskip("jax.experimental.multihost_utils")
+    port = _free_port()
+    # one local CPU device per process (the pytest env's 8-virtual-device
+    # XLA flag would otherwise be inherited)
+    env = dict(
+        os.environ, XLA_FLAGS="--xla_force_host_platform_device_count=1"
+    )
+    code = textwrap.dedent(f"""
+        import sys
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
+        pid = int(sys.argv[1])
+        from cspn_tpu.parallel.distributed import host_shard, initialize_multihost
+        initialize_multihost('127.0.0.1:{port}', num_processes=2,
+                             process_id=pid, retries=2, retry_delay_s=1.0,
+                             initialization_timeout=60)
+        assert host_shard() == (pid, 2), host_shard()
+        assert len(jax.devices()) == 2, jax.devices()
+        assert len(jax.local_devices()) == 1, jax.local_devices()
+        import jax.numpy as jnp
+        from jax.experimental import multihost_utils
+        got = multihost_utils.process_allgather(jnp.array([10.0 + pid]))
+        assert got.tolist() == [[10.0], [11.0]], got
+        jax.distributed.shutdown()
+        print(f'P{{pid}}_PSUM_OK')
+    """)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", code, str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            cwd="/root/repo", env=env,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=180)
+            outs.append((p.returncode, out, err))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for pid, (rc, out, err) in enumerate(outs):
+        assert rc == 0, (pid, out, err[-2000:])
+        assert f"P{pid}_PSUM_OK" in out, (pid, out, err[-2000:])
+
+
 def test_unreachable_coordinator_fails_fast():
     """A worker pointing at a dead coordinator must fail in bounded time.
 
