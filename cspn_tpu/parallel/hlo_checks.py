@@ -43,18 +43,38 @@ def expected_ppermutes_nd(steps: int, k: int) -> int:
     return 2 * 3 + 2 * (rounds - 1)
 
 
-def all_reduce_bytes(hlo_text: str) -> int:
-    """Total bytes reduced by all-reduce ops (sum of result-shape bytes,
-    including every element of variadic/tuple-shaped all-reduces)."""
-    total = 0
-    for m in re.finditer(
-        r"= \(?((?:[a-z0-9]+\[[0-9,]*\][^=()]*?,? ?)+)\)? all-reduce(?:-start)?\(",
-        hlo_text,
-    ):
-        for mm in re.finditer(r"([a-z0-9]+)\[([0-9,]*)\]", m.group(1)):
+def _all_reduce_shapes(hlo_text: str):
+    """Yield (dtype, elem_count) for every element of every all-reduce
+    result shape.  Line-based: HLO text is one instruction per line, and
+    variadic tuples embed /*index=N*/ comments that a single-regex parse
+    trips over."""
+    for line in hlo_text.splitlines():
+        m = re.search(r"= (.*?) all-reduce(?:-start)?\(", line)
+        if not m:
+            continue
+        sig = re.sub(r"/\*.*?\*/", "", m.group(1))
+        for mm in re.finditer(r"([a-z0-9]+)\[([0-9,]*)\]", sig):
             n = 1
             for d in mm.group(2).split(","):
                 if d:
                     n *= int(d)
-            total += n * _DTYPE_BYTES.get(mm.group(1), 4)
-    return total
+            yield mm.group(1), n
+
+
+def all_reduce_bytes(hlo_text: str) -> int:
+    """Total bytes reduced by all-reduce ops (sum of result-shape bytes,
+    including every element of variadic/tuple-shaped all-reduces).
+
+    NB: only the TPU backend preserves reduced-precision reduces; the CPU
+    backend's float-normalization pass promotes bf16 all-reduce to f32, so
+    byte counts on the virtual CPU mesh reflect that promotion.  Pin wire
+    *volume* with `all_reduce_elements` (backend-independent) and the wire
+    *dtype* on the pre-optimization module (`lowered.as_text(dialect='hlo')`),
+    which records the program's bf16 intent on every backend."""
+    return sum(n * _DTYPE_BYTES.get(dt, 4) for dt, n in _all_reduce_shapes(hlo_text))
+
+
+def all_reduce_elements(hlo_text: str) -> int:
+    """Total elements reduced by all-reduce ops (dtype-independent volume:
+    every gradient/stat element should be reduced exactly once)."""
+    return sum(n for _, n in _all_reduce_shapes(hlo_text))

@@ -368,6 +368,25 @@ def test_hlo_ppermute_rounds_2d(mesh24, steps, halo, has_sparse):
     )
 
 
+def test_all_reduce_accounting_parses_compiled_hlo_text():
+    """Compiled HLO formats variadic all-reduce tuples with layout braces
+    and /*index=N*/ comments; the byte/element accounting must parse them
+    and must not double-count -start/-done pairs or tuple-element refs."""
+    from cspn_tpu.parallel.hlo_checks import all_reduce_bytes, all_reduce_elements
+
+    text = "\n".join([
+        "%all-reduce.34 = (f32[64]{0}, bf16[3,3,4,64]{3,2,1,0}, "
+        "/*index=5*/f32[512]{0}) all-reduce-start(%a, %b, %c), channel_id=1",
+        "%ard = (f32[64]{0}) all-reduce-done(%all-reduce.34)",
+        "%get-tuple-element.1 = f32[64]{0} get-tuple-element(%all-reduce.34), index=0",
+        "%psum.8 = f32[1,1000]{1,0} all-reduce(%fusion), channel_id=2",
+    ])
+    want_elems = 64 + 3 * 3 * 4 * 64 + 512 + 1000
+    want_bytes = 64 * 4 + 3 * 3 * 4 * 64 * 2 + 512 * 4 + 1000 * 4
+    assert all_reduce_elements(text) == want_elems
+    assert all_reduce_bytes(text) == want_bytes
+
+
 def test_hlo_ppermute_rounds_nd(mesh24):
     from cspn_tpu.parallel.hlo_checks import (
         count_collective_permutes,
