@@ -336,6 +336,7 @@ class SyntheticDepthDataset:
         seed: int = 0,
         split: str = "train",
         return_raw_rgb: bool = False,
+        style: str = "smooth",
     ):
         self.length = length
         self.hw = hw
@@ -343,6 +344,16 @@ class SyntheticDepthDataset:
         self.seed = seed
         self.split = split
         self.return_raw_rgb = return_raw_rgb
+        # 'smooth': Gaussian-bump depth with depth-encoding RGB (default,
+        # golden-pinned by tests).  'edges': sharp-edged foreground
+        # rectangles at constant depths whose RGB shows the *borders*
+        # (albedo step + shading line) but whose interiors are textureless
+        # and whose albedo is UNCORRELATED with depth -- absolute depth is
+        # only recoverable from the sparse channel, so dense completion
+        # must spread the sparse anchors within edge-bounded regions: the
+        # scenario CSPN's edge-aware propagation exists for (TPAMI Fig. 4
+        # analog of the stereo 'edges' fixture above).
+        self.style = style
 
     def __len__(self):
         return self.length
@@ -360,11 +371,37 @@ class SyntheticDepthDataset:
                 -(((yy - cy) / sy) ** 2 + ((xx - cx) / sx) ** 2)
             ).astype(np.float32)
         depth = np.clip(depth, 0.5, 10.0)
-        gy, gx = np.gradient(depth)
-        shade = 1.0 / (1.0 + np.abs(gy) + np.abs(gx))
-        raw_rgb = np.stack(
-            [shade, depth / 10.0, 1.0 - depth / 10.0], axis=-1
-        ).astype(np.float32)
+        if self.style == "edges":
+            # low-frequency background albedo (independent of depth)
+            alb = np.full((h, w), 0.5, np.float32)
+            for _ in range(4):
+                cy, cx = rng.uniform(0, h), rng.uniform(0, w)
+                sy, sx = rng.uniform(h / 6, h / 2), rng.uniform(w / 6, w / 2)
+                alb += rng.uniform(-0.25, 0.25) * np.exp(
+                    -(((yy - cy) / sy) ** 2 + ((xx - cx) / sx) ** 2)
+                ).astype(np.float32)
+            # sharp-edged objects: constant depth, flat albedo, both drawn
+            # independently -- the RGB edge marks WHERE depth jumps but
+            # says nothing about the jump's value
+            for _ in range(4):
+                y0 = int(rng.uniform(0, h * 0.7))
+                x0 = int(rng.uniform(0, w * 0.7))
+                y1 = y0 + int(rng.uniform(h * 0.15, h * 0.4))
+                x1 = x0 + int(rng.uniform(w * 0.15, w * 0.4))
+                depth[y0:y1, x0:x1] = rng.uniform(0.7, 9.5)
+                alb[y0:y1, x0:x1] = rng.uniform(0.15, 0.9)
+            alb = np.clip(alb, 0.05, 1.0)
+            gy, gx = np.gradient(depth)
+            shade = 1.0 / (1.0 + np.abs(gy) + np.abs(gx))
+            raw_rgb = np.stack(
+                [alb * shade, alb, shade.astype(np.float32)], axis=-1
+            ).astype(np.float32)
+        else:
+            gy, gx = np.gradient(depth)
+            shade = 1.0 / (1.0 + np.abs(gy) + np.abs(gx))
+            raw_rgb = np.stack(
+                [shade, depth / 10.0, 1.0 - depth / 10.0], axis=-1
+            ).astype(np.float32)
         rgb = T.Normalize()(raw_rgb)
         sparse = create_sparse_depth(depth, self.n_sample, rng, "total")
         rgbd = np.concatenate([rgb, sparse[..., None]], axis=-1).astype(np.float32)

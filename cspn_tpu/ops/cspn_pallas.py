@@ -634,8 +634,9 @@ def cspn2d_halo_segment(
 
     gates_cf: [n, 8, He, W] normalized gather-form gates (output coords);
     base: [n, He, W] = keep*center*x0 + mask*x0; keep: [n, He, W] or None;
-    x: [n, He, W] running state.  Backward rematerializes through the
-    composed form (exact adjoint).  Used by parallel/halo.py.
+    x: [n, He, W] running state.  Backward is the fused in-VMEM replay +
+    adjoint sweep when it fits (halo_bwd_fits_vmem), else rematerializes
+    through the composed form (exact adjoint).  Used by parallel/halo.py.
     """
     if interpret is None:
         interpret = _interpret_default()

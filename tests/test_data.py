@@ -228,6 +228,37 @@ def test_synthetic_dataset_deterministic():
     np.testing.assert_array_equal(a["rgbd"], b["rgbd"])
 
 
+def test_synthetic_dataset_edges_style():
+    """The 'edges' fixture (completion ablation) must (a) be deterministic,
+    (b) differ from 'smooth', (c) contain sharp depth discontinuities, and
+    (d) not linearly encode absolute depth in the RGB the way the 'smooth'
+    style does (its channel 1 IS depth/10) -- otherwise the ablation's
+    no-CSPN arm could read the answer off the RGB."""
+    kw = dict(length=2, hw=(64, 96), n_sample=100, seed=3, return_raw_rgb=True)
+    a = SyntheticDepthDataset(style="edges", **kw)[0]
+    b = SyntheticDepthDataset(style="edges", **kw)[0]
+    np.testing.assert_array_equal(a["rgbd"], b["rgbd"])
+    smooth = SyntheticDepthDataset(style="smooth", **kw)[0]
+    assert not np.array_equal(a["depth"], smooth["depth"])
+    # sharp discontinuities: max row-to-row jump far exceeds the smooth style's
+    jump = np.abs(np.diff(a["depth"], axis=0)).max()
+    jump_smooth = np.abs(np.diff(smooth["depth"], axis=0)).max()
+    assert jump > 5 * jump_smooth
+    # RGB must not encode absolute depth: best single-channel linear fit
+    # explains most of the variance for 'smooth' (exact for channel 1) but
+    # little for 'edges'
+    def best_r2(sample):
+        d = sample["depth"].ravel()
+        best = 0.0
+        for c in range(3):
+            r = np.corrcoef(sample["raw_rgb"][..., c].ravel(), d)[0, 1]
+            best = max(best, float(r * r))
+        return best
+
+    assert best_r2(smooth) > 0.99
+    assert best_r2(a) < 0.5
+
+
 def test_pfm_roundtrip(tmp_path):
     from cspn_tpu.data.stereo import read_pfm, write_pfm
 
