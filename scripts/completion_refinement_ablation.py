@@ -60,6 +60,9 @@ ARMS = {
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=5)
+    ap.add_argument("--seed-base", type=int, default=0,
+                    help="first seed index (resume a timed-out sweep; merge "
+                         "the per_seed lists of the partial artifacts)")
     ap.add_argument("--epochs", type=int, default=10)
     ap.add_argument("--arch", default="resnet18",
                     help="reference KITTI trunk (train.py:146-147)")
@@ -135,12 +138,12 @@ def main():
         return {k: round(float(v), 4) for k, v in best.items()}
 
     per_seed = {arm: [] for arm in ARMS}
-    for seed in range(args.seeds):
+    for seed in range(args.seed_base, args.seed_base + args.seeds):
         for arm in ARMS:
             r = run_arm(arm, seed)
             per_seed[arm].append(r)
             print(f"seed {seed} {arm}: {r}", flush=True)
-        _write(args, per_seed, seed + 1)
+        _write(args, per_seed, seed - args.seed_base + 1)
     _write(args, per_seed, args.seeds)
 
 
