@@ -201,6 +201,7 @@ class CSPNUNet(nn.Module):
                 steps=self.cspn_steps,
                 norm_type=self.cspn_norm_type,
                 halo=self.spatial_halo,
+                training=self.train,
             )
         return cspn2d(
             guidance,

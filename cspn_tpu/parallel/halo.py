@@ -55,6 +55,7 @@ def choose_halo(
     *,
     n_gate_planes: int = 8,
     t_step: float = _T2D_STEP_S_PER_PX,
+    allowed=None,
 ) -> int:
     """Pick the halo width K minimizing the per-device segment cost model.
 
@@ -63,10 +64,21 @@ def choose_halo(
     Evaluates T(K) = compute(extended block, all steps) + rounds * (gate
     reload + launch + ppermute) over K in [1, min(steps, shard_extent-1)]
     (a halo can only reach the immediate mesh neighbor).
+
+    allowed: optional predicate on K.  Training passes the fused-backward
+    VMEM fit here: a K whose backward doesn't fit falls back to composed
+    remat, which measures slower than a smaller fused K (KITTI shard:
+    K=24 composed 6.6 ms vs K=8 fused 5.6 ms per chip,
+    result/halo_bwd_bench.json).  If NO K satisfies the predicate the
+    constraint is dropped rather than failing.
     """
     k_max = max(1, min(steps, shard_extent - 1))
-    best_k, best_t = 1, float("inf")
-    for k in range(1, k_max + 1):
+    ks = list(range(1, k_max + 1))
+    if allowed is not None:
+        fitting = [k for k in ks if allowed(k)]
+        ks = fitting or ks
+    best_k, best_t = ks[0], float("inf")
+    for k in ks:
         rounds = -(-steps // k)
         ext = shard_extent + 2 * k
         compute = steps * ext * plane_px * batch * t_step
@@ -95,18 +107,25 @@ def _exchange_halos(x: jnp.ndarray, k: int, axis_name: str) -> jnp.ndarray:
 
 def _local_cspn(
     guidance, blur, sparse, *, steps: int, norm_type: str, halo: int,
-    axis_name: str, fused: bool = True,
+    axis_name: str, fused: bool = True, training: bool = False,
 ):
     """Per-device block compute. guidance [n, h, W, 8]; blur/sparse [n, h, W].
 
     The k-step local segments between halo exchanges run as a fused Pallas
     kernel (ops.cspn_pallas.cspn2d_halo_segment: one HBM round-trip per
-    segment instead of per step; backward rematerializes through the
-    composed form below).  fused=False keeps the composed XLA stencil.
+    segment instead of per step, fused in-VMEM backward when it fits).
+    fused=False keeps the composed XLA stencil.
     """
     if halo is None:  # model-chosen K (choose_halo cost model)
+        allowed = None
+        if training and fused:
+            from cspn_tpu.ops.cspn_pallas import halo_bwd_fits_vmem
+
+            ext, w = guidance.shape[1], guidance.shape[2]
+            allowed = lambda k: halo_bwd_fits_vmem(ext + 2 * k, w, k)
         halo = choose_halo(
-            steps, guidance.shape[1], guidance.shape[2], guidance.shape[0]
+            steps, guidance.shape[1], guidance.shape[2], guidance.shape[0],
+            allowed=allowed,
         )
     # a halo (and the +1 gate halo) can only reach the immediate mesh
     # neighbor, so it is capped by the local block height
@@ -172,13 +191,16 @@ def cspn2d_spatial(
     data_axis: str = "data",
     spatial_axis: str = "spatial",
     fused: bool = True,
+    training: bool = False,
 ):
     """2D CSPN with batch sharded over `data_axis` and image rows sharded
     over `spatial_axis`.  Semantics identical to ops.cspn2d.
 
     Requires N % mesh['data'] == 0 and H % mesh['spatial'] == 0.
     halo=None picks K per shard shape from the measured cost model
-    (choose_halo); fused=False keeps the composed-XLA local segments.
+    (choose_halo; training=True restricts to Ks whose fused backward fits
+    VMEM -- result/halo_bwd_bench.json); fused=False keeps the
+    composed-XLA local segments.
     """
     has_sparse = sparse_depth is not None
     spec_g = P(data_axis, spatial_axis, None, None)
@@ -191,6 +213,7 @@ def cspn2d_spatial(
         halo=halo,
         axis_name=spatial_axis,
         fused=fused,
+        training=training,
     )
 
     if has_sparse:

@@ -49,6 +49,19 @@ def test_spatial_cspn_matches_oracle(mesh24, halo, steps):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
 
 
+def test_spatial_cspn_training_flag_matches_oracle(mesh24):
+    """training=True only constrains the auto-chosen K (backward VMEM fit);
+    outputs stay exactly the sharded op's semantics."""
+    g, b, s = _inputs()
+    want = cspn2d_reference(g, b, s, steps=6)
+    got = jax.jit(
+        lambda g, b, s: cspn2d_spatial(
+            g, b, s, mesh=mesh24, steps=6, halo=None, training=True
+        )
+    )(g, b, s)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
 def test_spatial_cspn_no_sparse(mesh24):
     g, b, _ = _inputs()
     want = cspn2d_reference(g, b, None, steps=6)
@@ -337,6 +350,24 @@ def test_spatial_autotuned_halo_matches_oracle(mesh24):
     for steps, ext, px, b_ in [(24, 114, 304, 16), (24, 4, 304, 1), (1, 64, 64, 1)]:
         k = choose_halo(steps, ext, px, b_)
         assert 1 <= k <= max(1, min(steps, ext - 1))
+
+    # training mode restricts K to backward-VMEM-fitting values (KITTI
+    # shard: forward picks K=24 whose fused backward does NOT fit; the
+    # constrained pick must fit and measures faster than composed K=24,
+    # result/halo_bwd_bench.json) -- and drops the constraint when nothing
+    # fits rather than failing
+    from cspn_tpu.ops.cspn_pallas import halo_bwd_fits_vmem
+
+    ext, w, b_ = 176, 1216, 4
+    k_free = choose_halo(24, ext, w, b_)
+    assert not halo_bwd_fits_vmem(ext + 2 * k_free, w, k_free)
+    k_train = choose_halo(
+        24, ext, w, b_, allowed=lambda k: halo_bwd_fits_vmem(ext + 2 * k, w, k)
+    )
+    assert halo_bwd_fits_vmem(ext + 2 * k_train, w, k_train)
+    assert choose_halo(24, 8, 64, 1, allowed=lambda k: False) == choose_halo(
+        24, 8, 64, 1
+    )
 
 
 # --- HLO-level cost-model pinning (docs/SCALING.md; VERDICT r3 #2) ---------
