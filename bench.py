@@ -168,7 +168,11 @@ def main():
     results = bench_model()
     fps = results["pallas"]
     quant = ""
-    int8_fps = _bench_int8_subprocess()
+    # off-TPU the child would boot a whole interpreter just to return None
+    import jax
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    int8_fps = _bench_int8_subprocess() if on_tpu else None
     # headline flips to int8 only on a sane measurement (>= the bf16 path;
     # a wedged-then-recovered tunnel can produce garbage slow numbers)
     if int8_fps is not None and int8_fps >= fps:

@@ -268,6 +268,8 @@ class SyntheticStereoDataset:
         # 'edges': adds sharp-edged foreground rectangles (depth
         # discontinuities aligned with image-intensity edges -- the
         # structure CSPN's edge-aware refinement exploits)
+        if style not in ("smooth", "edges"):
+            raise ValueError(f"style must be smooth|edges: {style!r}")
         self.style = style
 
     def __len__(self):
@@ -353,6 +355,10 @@ class SyntheticDepthDataset:
         # must spread the sparse anchors within edge-bounded regions: the
         # scenario CSPN's edge-aware propagation exists for (TPAMI Fig. 4
         # analog of the stereo 'edges' fixture above).
+        if style not in ("smooth", "edges"):
+            # a typo silently falling back to 'smooth' (whose RGB encodes
+            # depth) would quietly invalidate the completion ablation
+            raise ValueError(f"style must be smooth|edges: {style!r}")
         self.style = style
 
     def __len__(self):

@@ -55,6 +55,7 @@ class DataLoader:
         seed: int = 0,
         shard: tuple[int, int] = (0, 1),
         worker_mode: str = "thread",
+        stall_timeout: float = 300.0,
     ):
         if worker_mode not in ("thread", "process"):
             raise ValueError(f"worker_mode must be thread|process: {worker_mode!r}")
@@ -67,6 +68,9 @@ class DataLoader:
         self.seed = seed
         self.shard_index, self.shard_count = shard
         self.worker_mode = worker_mode
+        # process mode: max seconds to wait for one batch before declaring
+        # the workers hung (dead workers are detected within 5 s regardless)
+        self.stall_timeout = stall_timeout
         self._epoch = 0
 
     def _indices(self) -> np.ndarray:
@@ -147,9 +151,17 @@ class DataLoader:
                 t.join(timeout=2.0)
 
     def _iter_processes(self, batches) -> Iterator[dict[str, np.ndarray]]:
+        # fork(): the dataset rides into workers for free (the reference's
+        # torch-DataLoader model; spawn/forkserver would not help in this
+        # environment anyway -- sitecustomize imports jax into EVERY new
+        # interpreter).  Caveat: forking a heavily-threaded parent (e.g.
+        # after JAX backend init) is deadlock-prone in general; the stall
+        # timeout below turns any such hang -- and any killed worker --
+        # into a raised error instead of a silent freeze.
         import multiprocessing as mp
+        import queue as queue_lib
 
-        ctx = mp.get_context("fork")  # dataset rides into workers for free
+        ctx = mp.get_context("fork")
         task_q = ctx.Queue()
         result_q = ctx.Queue()
         procs = [
@@ -171,8 +183,26 @@ class DataLoader:
                 next_task += 1
             buffered: dict[int, dict] = {}
             for i in range(n_batches):
+                waited = 0.0
                 while i not in buffered:
-                    j, payload = result_q.get()
+                    try:
+                        j, payload = result_q.get(timeout=5.0)
+                    except queue_lib.Empty:
+                        dead = [p for p in procs if not p.is_alive()]
+                        if dead:
+                            raise RuntimeError(
+                                "DataLoader worker process died without a "
+                                f"result (exitcode {dead[0].exitcode}); "
+                                "likely OOM-killed or crashed in native code"
+                            )
+                        waited += 5.0
+                        if waited >= self.stall_timeout:
+                            raise RuntimeError(
+                                f"DataLoader stalled {waited:.0f}s waiting "
+                                f"for batch {i}; workers alive but silent "
+                                "(fork-after-JAX-init deadlock?)"
+                            )
+                        continue
                     buffered[j] = payload
                 if next_task < n_batches:
                     task_q.put(next_task)

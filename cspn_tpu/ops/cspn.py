@@ -31,6 +31,21 @@ def _resolve(backend: str) -> str:
 
 
 
+def _round_io(guidance, blur_depth, sparse_depth, io_dtype):
+    """Emulate the fused kernel's reduced-precision HBM I/O on paths that
+    read f32: round the inputs through io_dtype (the kernel upcasts at
+    first use, so this is the identical function).  One place, so every
+    fallback shape class stays in lockstep (ADVICE r3)."""
+    if io_dtype is None:
+        return guidance, blur_depth, sparse_depth
+    dt = jnp.dtype(io_dtype)
+    return (
+        guidance.astype(dt).astype(jnp.float32),
+        blur_depth.astype(dt).astype(jnp.float32),
+        None if sparse_depth is None else sparse_depth.astype(dt).astype(jnp.float32),
+    )
+
+
 def cspn2d(
     guidance: jnp.ndarray,
     blur_depth: jnp.ndarray,
@@ -72,23 +87,17 @@ def cspn2d(
             # the rounding must still happen or this one shape class would
             # silently compute the full-f32 function while every other
             # io_dtype path (fused, reference/CPU) rounds.
-            if io_dtype is not None:
-                dt = jnp.dtype(io_dtype)
-                guidance = guidance.astype(dt).astype(jnp.float32)
-                blur_depth = blur_depth.astype(dt).astype(jnp.float32)
-                if sparse_depth is not None:
-                    sparse_depth = sparse_depth.astype(dt).astype(jnp.float32)
+            guidance, blur_depth, sparse_depth = _round_io(
+                guidance, blur_depth, sparse_depth, io_dtype
+            )
             return cspn_pallas.cspn2d_tiled(
                 guidance, blur_depth, sparse_depth, steps=steps, norm_type=norm_type
             )
         backend = "reference"  # width beyond even the tiled VMEM budget
     if backend == "reference":
-        if io_dtype is not None:
-            dt = jnp.dtype(io_dtype)
-            guidance = guidance.astype(dt).astype(jnp.float32)
-            blur_depth = blur_depth.astype(dt).astype(jnp.float32)
-            if sparse_depth is not None:
-                sparse_depth = sparse_depth.astype(dt).astype(jnp.float32)
+        guidance, blur_depth, sparse_depth = _round_io(
+            guidance, blur_depth, sparse_depth, io_dtype
+        )
         return cspn_ref.cspn2d_reference(
             guidance, blur_depth, sparse_depth, steps=steps, norm_type=norm_type
         )

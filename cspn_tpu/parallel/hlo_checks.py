@@ -78,3 +78,14 @@ def all_reduce_elements(hlo_text: str) -> int:
     """Total elements reduced by all-reduce ops (dtype-independent volume:
     every gradient/stat element should be reduced exactly once)."""
     return sum(n for _, n in _all_reduce_shapes(hlo_text))
+
+
+def all_reduce_elements_by_dtype(hlo_text: str) -> dict[str, int]:
+    """Per-dtype all-reduce element counts.  Used to pin the requested
+    wire dtype on the PRE-optimization module (lowered.as_text(dialect=
+    'hlo')): the TPU backend keeps a bf16 all-reduce, while CPU float
+    normalization promotes it, so the compiled module only pins volume."""
+    out: dict[str, int] = {}
+    for dt, n in _all_reduce_shapes(hlo_text):
+        out[dt] = out.get(dt, 0) + n
+    return out

@@ -191,7 +191,7 @@ def _write(args, per_seed, n_seeds):
         "means": means,
         "per_seed": per_seed,
     }
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(rec, f, indent=1)
     print(json.dumps({k: rec[k] for k in

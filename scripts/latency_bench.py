@@ -1,0 +1,79 @@
+"""Serving latency at small batch (b1/b8), bf16 and int8 paths.
+
+The throughput story (bench.py, README) is b128; production serving also
+cares about single-request latency.  Chained-repeat timing (CLAUDE.md:
+output feeds the next input inside one jitted fori_loop, ONE sync at the
+end) so the tunnel's ~30 ms per-call RPC does not swamp a ~2 ms step.
+
+Usage: timeout 1200 python scripts/latency_bench.py [--out result/latency_bench.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="result/latency_bench.json")
+    ap.add_argument("--repeats", type=int, default=64)
+    ap.add_argument("--trials", type=int, default=5)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from cspn_tpu.models import cspn_unet_resnet50
+    from cspn_tpu.utils.precision import cast_floating
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import _make_repeated, _timed_repeat
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for quant in (False, True):
+        model = cspn_unet_resnet50(
+            cspn_backend="auto", dtype=jnp.bfloat16, quant=quant
+        )
+        x1 = jnp.asarray(rng.standard_normal((1, 228, 304, 4)), jnp.float32)
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), x1)
+        jax.block_until_ready(variables)
+        v = cast_floating(variables, jnp.bfloat16)
+        for batch in (1, 8, 32):
+            x = jnp.asarray(
+                rng.standard_normal((batch, 228, 304, 4)), jnp.float32
+            )
+            fn = _make_repeated(model, v, args.repeats)
+            t = _timed_repeat(fn, v, x, rng, args.repeats, trials=args.trials)
+            rec = {
+                "path": "int8" if quant else "bf16",
+                "batch": batch,
+                "latency_ms": round(t * 1e3, 3),
+                "frames_per_s": round(batch / t, 1),
+            }
+            rows.append(rec)
+            print(rec, flush=True)
+
+    rec = {
+        "what": "flagship serving latency at small batch (chained-repeat "
+                "device timing; b128 throughput lives in bench.py/README)",
+        "platform": jax.devices()[0].platform,
+        "model": "cspn_unet_resnet50, 24-step CSPN, 228x304",
+        "results": rows,
+    }
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(rec, f, indent=1)
+    print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -361,6 +361,24 @@ def test_loader_process_workers_propagate_errors():
                         worker_mode="process"))
 
 
+def test_loader_process_worker_death_raises_not_hangs():
+    """A worker killed without enqueuing a result (OOM-kill / native crash)
+    must surface as an error within the liveness window, not a silent
+    forever-hang on result_q.get()."""
+    import os
+
+    class Dies:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            os._exit(3)  # no exception, no result: process just vanishes
+
+    with pytest.raises(RuntimeError, match="died without a result"):
+        list(DataLoader(Dies(), batch_size=2, num_workers=1,
+                        worker_mode="process"))
+
+
 def test_parity_only_transforms():
     """The reference ships Scale/CenterCropRectangle/DepthNormalize/
     ToPILImage without ever chaining them (data_transform.py:112-428);

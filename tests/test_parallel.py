@@ -412,10 +412,16 @@ def test_all_reduce_accounting_parses_compiled_hlo_text():
         "%get-tuple-element.1 = f32[64]{0} get-tuple-element(%all-reduce.34), index=0",
         "%psum.8 = f32[1,1000]{1,0} all-reduce(%fusion), channel_id=2",
     ])
+    from cspn_tpu.parallel.hlo_checks import all_reduce_elements_by_dtype
+
     want_elems = 64 + 3 * 3 * 4 * 64 + 512 + 1000
     want_bytes = 64 * 4 + 3 * 3 * 4 * 64 * 2 + 512 * 4 + 1000 * 4
     assert all_reduce_elements(text) == want_elems
     assert all_reduce_bytes(text) == want_bytes
+    assert all_reduce_elements_by_dtype(text) == {
+        "f32": 64 + 512 + 1000,
+        "bf16": 3 * 3 * 4 * 64,
+    }
 
 
 def test_hlo_ppermute_rounds_nd(mesh24):
