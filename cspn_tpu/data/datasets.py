@@ -355,10 +355,16 @@ class SyntheticDepthDataset:
         # must spread the sparse anchors within edge-bounded regions: the
         # scenario CSPN's edge-aware propagation exists for (TPAMI Fig. 4
         # analog of the stereo 'edges' fixture above).
-        if style not in ("smooth", "edges"):
+        # 'edges_mono': same sharp-edged geometry but albedo affine in
+        # depth (0.1 + 0.08*d), so depth IS recoverable from RGB alone --
+        # the monocular setting (n_sample=0, BASELINE config 4).  The
+        # network's coarse-to-fine decoder blurs the discontinuities; the
+        # question the mono ablation asks is whether CSPN's edge-aware
+        # propagation restores them (the paper's mono refinement claim).
+        if style not in ("smooth", "edges", "edges_mono"):
             # a typo silently falling back to 'smooth' (whose RGB encodes
             # depth) would quietly invalidate the completion ablation
-            raise ValueError(f"style must be smooth|edges: {style!r}")
+            raise ValueError(f"style must be smooth|edges|edges_mono: {style!r}")
         self.style = style
 
     def __len__(self):
@@ -377,7 +383,20 @@ class SyntheticDepthDataset:
                 -(((yy - cy) / sy) ** 2 + ((xx - cx) / sx) ** 2)
             ).astype(np.float32)
         depth = np.clip(depth, 0.5, 10.0)
-        if self.style == "edges":
+        if self.style == "edges_mono":
+            for _ in range(4):
+                y0 = int(rng.uniform(0, h * 0.7))
+                x0 = int(rng.uniform(0, w * 0.7))
+                y1 = y0 + int(rng.uniform(h * 0.15, h * 0.4))
+                x1 = x0 + int(rng.uniform(w * 0.15, w * 0.4))
+                depth[y0:y1, x0:x1] = rng.uniform(0.7, 9.5)
+            alb = (0.1 + 0.08 * depth).astype(np.float32)
+            gy, gx = np.gradient(depth)
+            shade = 1.0 / (1.0 + np.abs(gy) + np.abs(gx))
+            raw_rgb = np.stack(
+                [alb * shade, alb, shade.astype(np.float32)], axis=-1
+            ).astype(np.float32)
+        elif self.style == "edges":
             # low-frequency background albedo (independent of depth)
             alb = np.full((h, w), 0.5, np.float32)
             for _ in range(4):

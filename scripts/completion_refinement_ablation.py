@@ -69,7 +69,13 @@ def main():
     ap.add_argument("--height", type=int, default=228)
     ap.add_argument("--width", type=int, default=304)
     ap.add_argument("--prop-step", type=int, default=24)
-    ap.add_argument("--n-sample", type=int, default=500)
+    ap.add_argument("--n-sample", type=int, default=500,
+                    help="0 = monocular (nyu_mono preset, BASELINE config 4)")
+    ap.add_argument("--style", default="edges",
+                    choices=["smooth", "edges", "edges_mono"],
+                    help="'edges' for completion (RGB does not encode "
+                         "absolute depth); 'edges_mono' for the monocular "
+                         "ablation (RGB encodes depth, no sparse anchors)")
     ap.add_argument("--train-size", type=int, default=96)
     ap.add_argument("--val-size", type=int, default=32)
     ap.add_argument("--batch-size", type=int, default=8)
@@ -112,11 +118,11 @@ def main():
         # fixtures every epoch would make the 2-core host the bottleneck
         train_ds = _Cached(SyntheticDepthDataset(
             length=args.train_size, hw=(args.height, args.width),
-            n_sample=args.n_sample, seed=100 * seed, style="edges",
+            n_sample=args.n_sample, seed=100 * seed, style=args.style,
         ))
         val_ds = _Cached(SyntheticDepthDataset(
             length=args.val_size, hw=(args.height, args.width),
-            n_sample=args.n_sample, seed=100 * seed + 1, style="edges",
+            n_sample=args.n_sample, seed=100 * seed + 1, style=args.style,
         ))
         trainer = Trainer(
             cfg,
@@ -185,7 +191,7 @@ def _write(args, per_seed, n_seeds):
             "val_frames": args.val_size,
             "batch_size": args.batch_size,
             "seeds": n_seeds,
-            "style": "edges",
+            "style": args.style,
         },
         "paired_improvement_vs_no_cspn": paired,
         "means": means,

@@ -257,6 +257,15 @@ def test_synthetic_dataset_edges_style():
 
     assert best_r2(smooth) > 0.99
     assert best_r2(a) < 0.5
+    # 'edges_mono' (monocular ablation): sharp edges AND depth-encoding
+    # RGB -- recoverable without sparse anchors
+    m1 = SyntheticDepthDataset(style="edges_mono", **kw)[0]
+    m2 = SyntheticDepthDataset(style="edges_mono", **kw)[0]
+    np.testing.assert_array_equal(m1["rgbd"], m2["rgbd"])
+    assert best_r2(m1) > 0.99
+    assert np.abs(np.diff(m1["depth"], axis=0)).max() > 5 * jump_smooth
+    with pytest.raises(ValueError, match="style"):
+        SyntheticDepthDataset(style="edge", **kw)
 
 
 def test_pfm_roundtrip(tmp_path):
