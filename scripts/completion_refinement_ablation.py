@@ -20,8 +20,15 @@ plateau-on-MAE) on identical data; arms differ ONLY in the post-process:
 Multi-seed with paired per-seed deltas (reference 5-run-averaging standard,
 cspn_pytorch/README.md:73).
 
+Monocular variant (BASELINE config 4, the nyu_mono preset): pass
+`--style edges_mono --n-sample 0` -- RGB then encodes depth (no sparse
+channel needed) and the ablation asks whether CSPN re-sharpens the
+discontinuities the coarse-to-fine decoder blurs (the TPAMI mono claim);
+artifact result/mono_refinement.json.
+
 Usage:  timeout 3600 python scripts/completion_refinement_ablation.py \
             [--seeds 5] [--epochs 10] [--cpu] [--small] \
+            [--style edges|edges_mono|smooth] [--n-sample N] \
             [--out result/completion_refinement.json]
 """
 
