@@ -130,6 +130,11 @@ def bench_int8(batch=128, repeats=8):
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), x[:1])
     jax.block_until_ready(variables)
     v = cast_floating(variables, jnp.bfloat16)
+    # serving config: weights pre-quantized ONCE at load (utils/quant.py);
+    # only activations quantize per call
+    from cspn_tpu.utils.quant import build_weight_qcache
+
+    v = {**v, "qcache": build_weight_qcache(model, v, x[:1])}
     fn = _make_repeated(model, v, repeats)
     t = _timed_repeat(fn, v, x, rng, repeats)
     log(f"int8: {t * 1e3:.2f} ms/batch{batch} -> {batch / t:.1f} frames/s")

@@ -184,10 +184,16 @@ def make_eval_step(model_eval, loss_name: str = "l1"):
     loss_fn = _loss_fn(loss_name)
 
     @jax.jit
-    def eval_step(state: TrainState, rgbd, depth):
-        out = model_eval.apply(
-            {"params": state.params, "batch_stats": state.batch_stats}, rgbd
-        )
+    def eval_step(state: TrainState, rgbd, depth, extra_vars=None):
+        # extra_vars: optional additional variable collections, e.g. the
+        # serving-time pre-quantized weight cache ({'qcache': ...},
+        # utils/quant.build_weight_qcache).  Passed as an argument, not a
+        # closure: closed-over concrete arrays would embed ~200 MB of
+        # weights as HLO constants.
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        if extra_vars:
+            variables.update(extra_vars)
+        out = model_eval.apply(variables, rgbd)
         return out, loss_fn(out, depth), evaluate_error(depth, out)
 
     return eval_step

@@ -57,17 +57,18 @@ def quantize_weights(w: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return q.astype(jnp.int8), scale
 
 
-def int8_conv(
+def int8_conv_prequant(
     x: jnp.ndarray,
-    w: jnp.ndarray,
+    wq: jnp.ndarray,
+    ws: jnp.ndarray,
     strides: tuple[int, int],
     padding,
     out_dtype=jnp.float32,
 ) -> jnp.ndarray:
-    """Dynamic-int8 NHWC conv: quantize x (per tensor) and w (per cout),
-    s8 x s8 -> s32 on the MXU, dequantize to `out_dtype`."""
+    """int8 NHWC conv with already-quantized weights (wq int8, ws[cout]):
+    quantize x (dynamic, per tensor/sample), s8 x s8 -> s32 on the MXU,
+    dequantize to `out_dtype`."""
     xq, xs = quantize_tensor(x)
-    wq, ws = quantize_weights(w)
     y = lax.conv_general_dilated(
         xq,
         wq,
@@ -79,9 +80,38 @@ def int8_conv(
     return (y.astype(jnp.float32) * (xs * ws)).astype(out_dtype)
 
 
+def int8_conv(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    strides: tuple[int, int],
+    padding,
+    out_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Dynamic-int8 NHWC conv: quantize x (per tensor) and w (per cout),
+    s8 x s8 -> s32 on the MXU, dequantize to `out_dtype`."""
+    wq, ws = quantize_weights(w)
+    return int8_conv_prequant(x, wq, ws, strides, padding, out_dtype)
+
+
+QCACHE_COL = "qcache"
+
+
 class QuantConv(nn.Module):
     """Drop-in replacement for the models' bias-free `nn.Conv`: identical
-    parameter ('kernel', HWIO, float32, he_normal), int8 execution."""
+    parameter ('kernel', HWIO, float32, he_normal), int8 execution.
+
+    Weight quantization has two modes:
+      - dynamic (default): quantize `kernel` on every call.  Zero setup,
+        but at serving time it re-quantizes ~218 M static weights per
+        call, which dominates small-batch latency (14 ms at b1 vs 2.7 ms
+        bf16, result/latency_bench.json).
+      - cached: when a '{QCACHE_COL}' variable collection is supplied to
+        `.apply` (built once at checkpoint-load time by
+        `build_weight_qcache`), the pre-quantized (wq, ws) pair is read
+        from it and only the activations quantize dynamically.  Params are
+        untouched either way -- the cache is a separate, optional,
+        derived-at-load collection, so checkpoints stay interchangeable.
+    """
 
     features: int
     kernel: int
@@ -98,10 +128,49 @@ class QuantConv(nn.Module):
             jnp.float32,
         )
         pad = (k - 1) // 2
-        return int8_conv(
-            x,
-            w,
-            (self.stride, self.stride),
-            ((pad, pad), (pad, pad)),
-            out_dtype=self.dtype or x.dtype,
-        )
+        strides = (self.stride, self.stride)
+        padding = ((pad, pad), (pad, pad))
+        out_dtype = self.dtype or x.dtype
+        if self.has_variable(QCACHE_COL, "wq_ws") or (
+            self.scope is not None
+            and self.scope.is_mutable_collection(QCACHE_COL)
+            and not self.is_initializing()
+        ):
+            wq, ws = self.variable(
+                QCACHE_COL, "wq_ws", lambda: quantize_weights(w)
+            ).value
+            return int8_conv_prequant(x, wq, ws, strides, padding, out_dtype)
+        return int8_conv(x, w, strides, padding, out_dtype)
+
+
+def build_weight_qcache(model, variables, sample_x):
+    """Pre-quantize every QuantConv kernel ONCE at serving-load time.
+
+    Returns the '{QCACHE_COL}' collection to merge into the serving
+    variables: ``model.apply({**variables, "qcache": qc}, x)``.
+
+    The cache STRUCTURE is discovered with `jax.eval_shape` over a
+    mutable-qcache apply (zero FLOPs, no compile of the conv graph), then
+    the values are filled by one tiny jitted pass over the params -- so
+    building the cache costs a quantization sweep of the weights, not a
+    model forward.
+    """
+    import jax
+
+    shapes = jax.eval_shape(
+        lambda v, x: model.apply(v, x, mutable=[QCACHE_COL])[1],
+        variables,
+        sample_x,
+    )[QCACHE_COL]
+
+    def _fill(qnode, pnode):
+        return {
+            name: (
+                quantize_weights(pnode["kernel"])
+                if name == "wq_ws"
+                else _fill(child, pnode[name])
+            )
+            for name, child in dict(qnode).items()
+        }
+
+    return jax.jit(lambda p: _fill(shapes, p))(variables["params"])

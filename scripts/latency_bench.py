@@ -1,9 +1,18 @@
-"""Serving latency at small batch (b1/b8), bf16 and int8 paths.
+"""Serving latency at small batch (b1/b8/b32), bf16 and int8 paths.
 
 The throughput story (bench.py, README) is b128; production serving also
 cares about single-request latency.  Chained-repeat timing (CLAUDE.md:
 output feeds the next input inside one jitted fori_loop, ONE sync at the
 end) so the tunnel's ~30 ms per-call RPC does not swamp a ~2 ms step.
+
+The int8 path serves with the load-time weight-quantization cache
+(utils/quant.build_weight_qcache): r4 measured the uncached path at
+14.0 ms b1 vs 2.7 ms bf16 because QuantConv re-quantized ~218 M static
+weights inside every call.
+
+The artifact is (re)written after EVERY row: the int8 sweep runs last in
+the same process, and int8 convs have wedged the TPU tunnel before
+(CLAUDE.md 2026-08-20) -- a wedge must not lose the bf16 rows.
 
 Usage: timeout 1200 python scripts/latency_bench.py [--out result/latency_bench.json]
 """
@@ -14,7 +23,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -31,11 +39,23 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from bench import _make_repeated, _timed_repeat
     from cspn_tpu.models import cspn_unet_resnet50
     from cspn_tpu.utils.precision import cast_floating
+    from cspn_tpu.utils.quant import build_weight_qcache
 
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    from bench import _make_repeated, _timed_repeat
+    def write(rows):
+        rec = {
+            "what": "flagship serving latency at small batch (chained-repeat "
+                    "device timing; b128 throughput lives in bench.py/README)",
+            "platform": jax.devices()[0].platform,
+            "model": "cspn_unet_resnet50, 24-step CSPN, 228x304",
+            "results": rows,
+        }
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(rec, f, indent=1)
+        return rec
 
     rng = np.random.default_rng(0)
     rows = []
@@ -47,6 +67,9 @@ def main():
         variables = jax.jit(model.init)(jax.random.PRNGKey(0), x1)
         jax.block_until_ready(variables)
         v = cast_floating(variables, jnp.bfloat16)
+        if quant:
+            # serving config: weights pre-quantized once at load
+            v = {**v, "qcache": build_weight_qcache(model, v, x1)}
         for batch in (1, 8, 32):
             x = jnp.asarray(
                 rng.standard_normal((batch, 228, 304, 4)), jnp.float32
@@ -60,19 +83,10 @@ def main():
                 "frames_per_s": round(batch / t, 1),
             }
             rows.append(rec)
+            write(rows)
             print(rec, flush=True)
 
-    rec = {
-        "what": "flagship serving latency at small batch (chained-repeat "
-                "device timing; b128 throughput lives in bench.py/README)",
-        "platform": jax.devices()[0].platform,
-        "model": "cspn_unet_resnet50, 24-step CSPN, 228x304",
-        "results": rows,
-    }
-    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-    with open(args.out, "w") as f:
-        json.dump(rec, f, indent=1)
-    print(json.dumps(rec), flush=True)
+    print(json.dumps(write(rows)), flush=True)
 
 
 if __name__ == "__main__":

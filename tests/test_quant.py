@@ -81,6 +81,47 @@ def test_full_model_int8_close_to_float(rng):
     assert rel < 0.08, rel
 
 
+def test_qcache_apply_identical_to_dynamic(rng):
+    # the load-time weight cache must change WHERE quantization happens,
+    # not WHAT is computed: apply with qcache == dynamic apply, bit-exact
+    from cspn_tpu.utils.quant import build_weight_qcache
+
+    x = jnp.asarray(rng.standard_normal((2, 12, 16, 8)).astype(np.float32))
+    qc = QuantConv(16, 3)
+    variables = qc.init(jax.random.PRNGKey(0), x)
+    assert "qcache" not in variables  # init never creates the cache
+    cache = build_weight_qcache(qc, variables, x)
+    wq, ws = cache["wq_ws"]
+    assert wq.dtype == jnp.int8 and ws.shape == (16,)
+    y_dyn = qc.apply(variables, x)
+    y_cached = qc.apply({**variables, "qcache": cache}, x)
+    np.testing.assert_array_equal(np.asarray(y_dyn), np.asarray(y_cached))
+
+
+def test_qcache_full_model_identical_and_param_tree_untouched(rng):
+    from cspn_tpu.utils.quant import build_weight_qcache
+
+    x = jnp.asarray(rng.standard_normal((1, 64, 96, 4)).astype(np.float32))
+    q = cspn_unet_resnet18(cspn_steps=4, cspn_backend="reference", quant=True)
+    variables = q.init(jax.random.PRNGKey(0), x)
+    cache = build_weight_qcache(q, variables, x)
+    # every cached leaf is an (int8 weights, scale) pair
+    leaves = jax.tree_util.tree_leaves(cache)
+    assert leaves and all(
+        l.dtype in (jnp.int8, jnp.float32) for l in leaves
+    )
+    out_dyn = np.asarray(q.apply(variables, x))
+    out_cached = np.asarray(q.apply({**variables, "qcache": cache}, x))
+    # not bit-exact: the cache builder's jitted abs-max reduction can
+    # differ from the dynamic path's by one ulp, flipping a handful of
+    # near-.5 weights by +-1 int8 step (measured 239 of ~5M on this
+    # fixture).  The contract is quantization-tolerance agreement.
+    rel = np.linalg.norm(out_cached - out_dyn) / max(
+        np.linalg.norm(out_dyn), 1e-9
+    )
+    assert rel < 1e-3, rel
+
+
 def test_quant_is_serving_only(rng):
     x = jnp.asarray(rng.standard_normal((1, 32, 32, 4)).astype(np.float32))
     m = cspn_unet_resnet18(cspn_steps=2, train=True, quant=True)
