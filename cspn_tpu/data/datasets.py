@@ -162,7 +162,76 @@ class _DepthCompletionDataset:
         rgb, depth = load_h5_frame(path)
         return Image.fromarray(rgb, mode="RGB"), Image.fromarray(depth, mode="F")
 
+    def _load_arrays(self, idx: int) -> tuple[np.ndarray, np.ndarray]:
+        """(rgb HWC uint8, depth HW float32) without PIL wrappers."""
+        if self.input_format == "img":
+            rgb, depth = self._load(idx)
+            return np.asarray(rgb, dtype=np.uint8), np.asarray(depth, np.float32)
+        return load_h5_frame(os.path.join(self.root_dir, self.paths[idx]))
+
+    @staticmethod
+    def _resize_shorter(h: int, w: int, size: int) -> tuple[int, int]:
+        """transforms.Resize geometry: shorter side to `size`, aspect kept."""
+        if h <= w:
+            return size, max(1, round(w * size / h))
+        return max(1, round(h * size / w)), size
+
+    def _native_fast_sample(self, idx: int) -> dict[str, np.ndarray] | None:
+        """Fully-native sample assembly (native/host_pipeline.cpp
+        cspn_aug_pack): the whole PIL chain -- resize/rotate/jitter/crop/
+        flip/normalize/÷s/sparse/pack -- in one fused C++ pass.  PIL parity
+        is a quantified ±1-LSB bound (tests/test_native_aug.py); the random
+        stream consumed matches the PIL path draw-for-draw, and the
+        fallback below stays the reference-semantics oracle.
+        """
+        from cspn_tpu.data import native
+
+        if not native.aug_available():
+            return None
+        rgb, depth = self._load_arrays(idx)
+        rng = self._rng(idx)
+        if self.box_crop is not None:
+            left, right, up, down = self.box_crop
+            rgb = rgb[up:down, left:right]
+            depth = depth[up:down, left:right]
+        h0, w0 = depth.shape
+        s = 1.0
+        angle = 0.0
+        jitter: list[tuple[int, float]] = []
+        flip = False
+        resize_hw = None
+        if self.split == "train":
+            s = float(rng.uniform(1.0, 1.5))
+            if self.resize_base is not None:
+                resize_hw = self._resize_shorter(h0, w0, int(self.resize_base * s))
+            angle = float(rng.uniform(-5.0, 5.0))
+            jitter = T.ColorJitter.draw_params(0.4, 0.4, 0.4, rng)
+            flip = bool(rng.random() < 0.5)
+        elif self.resize_base is not None:
+            resize_hw = self._resize_shorter(h0, w0, self.resize_base)
+        packed = native.aug_pack(
+            rgb,
+            depth,
+            resize_hw=resize_hw,
+            angle=angle,
+            crop_hw=self.crop_hw,
+            flip=flip,
+            jitter=jitter,
+            inv_scale=1.0 / s,
+            n_sample=self.n_sample,
+            sparse_denom=self.sparse_denom,
+            seed=int(rng.integers(0, 2**63)),
+        )
+        if packed is None:
+            return None
+        rgbd, depth_arr = packed
+        return {"rgbd": rgbd, "depth": depth_arr}
+
     def __getitem__(self, idx: int) -> dict[str, np.ndarray]:
+        if self.use_native and not self.return_raw_rgb:
+            sample = self._native_fast_sample(idx)
+            if sample is not None:
+                return sample
         rgb, depth = self._load(idx)
         rng = self._rng(idx)
 

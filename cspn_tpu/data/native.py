@@ -28,13 +28,14 @@ def _load():
             return _lib
         _tried = True
         try:
-            if not os.path.exists(_LIB_PATH):
-                subprocess.run(
-                    ["make", "-C", os.path.abspath(_NATIVE_DIR)],
-                    check=True,
-                    capture_output=True,
-                    timeout=120,
-                )
+            # always invoke make: it is a no-op when libcspn_host.so is
+            # fresh and rebuilds it when host_pipeline.cpp changed
+            subprocess.run(
+                ["make", "-C", os.path.abspath(_NATIVE_DIR)],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
             lib = ctypes.CDLL(_LIB_PATH)
             lib.cspn_pack_sample.argtypes = [
                 ctypes.c_void_p,  # rgb u8
@@ -54,6 +55,33 @@ def _load():
                 ctypes.c_float,
             ]
             lib.cspn_count_valid.restype = ctypes.c_int64
+            lib.cspn_aug_pack.argtypes = [
+                ctypes.c_void_p,  # rgb u8 [h0,w0,3] (strided)
+                ctypes.c_long,  # rgb row stride (elements)
+                ctypes.c_long,  # rgb col stride
+                ctypes.c_long,  # rgb channel stride
+                ctypes.c_void_p,  # depth f32 [h0,w0] (strided)
+                ctypes.c_long,  # depth row stride (elements)
+                ctypes.c_long,  # depth col stride
+                ctypes.c_int,  # h0
+                ctypes.c_int,  # w0
+                ctypes.c_int,  # rh
+                ctypes.c_int,  # rw
+                ctypes.c_float,  # angle_deg
+                ctypes.c_int,  # oh
+                ctypes.c_int,  # ow
+                ctypes.c_int,  # flip
+                ctypes.c_void_p,  # jitter ops (int32[n])
+                ctypes.c_void_p,  # jitter factors (f32[n])
+                ctypes.c_int,  # n_jit
+                ctypes.c_float,  # inv_scale
+                ctypes.c_int,  # n_sample
+                ctypes.c_int,  # denom_mode (0=total, 1=valid)
+                ctypes.c_uint64,  # seed
+                ctypes.c_void_p,  # out rgbd
+                ctypes.c_void_p,  # out depth
+            ]
+            lib.cspn_aug_pack.restype = ctypes.c_int
             _lib = lib
         except Exception:
             _lib = None
@@ -62,6 +90,14 @@ def _load():
 
 def available() -> bool:
     return _load() is not None
+
+
+def aug_available() -> bool:
+    lib = _load()
+    try:
+        return lib is not None and lib.cspn_aug_pack is not None
+    except AttributeError:
+        return False
 
 
 def pack_sample(
@@ -97,6 +133,78 @@ def pack_sample(
         out_depth.ctypes.data,
         num_threads,
     )
+    return out_rgbd, out_depth
+
+
+def aug_pack(
+    rgb_u8: np.ndarray,
+    depth: np.ndarray,
+    *,
+    resize_hw: tuple[int, int] | None,
+    angle: float,
+    crop_hw: tuple[int, int],
+    flip: bool,
+    jitter: list[tuple[int, float]],
+    inv_scale: float,
+    n_sample: int,
+    sparse_denom: str,
+    seed: int,
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Fused PIL-equivalent augmentation + pack (native/host_pipeline.cpp
+    cspn_aug_pack): resize + rotate(NEAREST) + center-crop + hflip +
+    ColorJitter + normalize + depth/s + Bernoulli sparse + RGBD pack in
+    one native pass.  `jitter` is [(op, factor)] in application order with
+    op 0=brightness, 1=contrast, 2=saturation.
+
+    Returns (rgbd [oh,ow,4] f32, depth [oh,ow] f32) or None if the native
+    library is unavailable.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "cspn_aug_pack"):
+        return None
+    # strided views ride straight into C++ -- no contiguous copy for the
+    # h5 planar CHW layout (pass rgb.transpose(1,2,0)) or box-crop slices
+    if rgb_u8.dtype != np.uint8:
+        rgb_u8 = rgb_u8.astype(np.uint8)
+    if depth.dtype != np.float32:
+        depth = depth.astype(np.float32)
+    h0, w0 = depth.shape
+    rh, rw = resize_hw if resize_hw is not None else (h0, w0)
+    oh, ow = crop_hw
+    ops = np.asarray([o for o, _ in jitter], dtype=np.int32)
+    facs = np.asarray([f for _, f in jitter], dtype=np.float32)
+    out_rgbd = np.empty((oh, ow, 4), np.float32)
+    out_depth = np.empty((oh, ow), np.float32)
+    r_rs, r_cs, r_chs = (s // rgb_u8.itemsize for s in rgb_u8.strides)
+    d_rs, d_cs = (s // depth.itemsize for s in depth.strides)
+    rc = lib.cspn_aug_pack(
+        rgb_u8.ctypes.data,
+        r_rs,
+        r_cs,
+        r_chs,
+        depth.ctypes.data,
+        d_rs,
+        d_cs,
+        h0,
+        w0,
+        rh,
+        rw,
+        ctypes.c_float(angle),
+        oh,
+        ow,
+        int(bool(flip)),
+        ops.ctypes.data if len(jitter) else None,
+        facs.ctypes.data if len(jitter) else None,
+        len(jitter),
+        ctypes.c_float(inv_scale),
+        int(n_sample),
+        0 if sparse_denom == "total" else 1,
+        ctypes.c_uint64(seed & (2**64 - 1)),
+        out_rgbd.ctypes.data,
+        out_depth.ctypes.data,
+    )
+    if rc != 0:
+        return None
     return out_rgbd, out_depth
 
 

@@ -87,23 +87,34 @@ class ColorJitter:
     """Random brightness/contrast/saturation, factors ~ U[1-a, 1+a], applied
     in random order (torchvision semantics)."""
 
+    # op ids shared with the native fused-aug kernel (host_pipeline.cpp)
+    BRIGHTNESS, CONTRAST, SATURATION = 0, 1, 2
+    _ENHANCERS = {
+        BRIGHTNESS: ImageEnhance.Brightness,
+        CONTRAST: ImageEnhance.Contrast,
+        SATURATION: ImageEnhance.Color,
+    }
+
     def __init__(self, brightness=0.4, contrast=0.4, saturation=0.4, rng=None):
         self.b, self.c, self.s = brightness, contrast, saturation
         self.rng = rng or np.random.default_rng()
 
+    @staticmethod
+    def draw_params(brightness, contrast, saturation, rng) -> list[tuple[int, float]]:
+        """Draw (op, factor) pairs in application order.  Shared by the PIL
+        path below and the native fused path (datasets.py) so both consume
+        the identical random stream."""
+        specs = []
+        for op, a in ((ColorJitter.BRIGHTNESS, brightness),
+                      (ColorJitter.CONTRAST, contrast),
+                      (ColorJitter.SATURATION, saturation)):
+            if a > 0:
+                specs.append((op, float(rng.uniform(max(0.0, 1 - a), 1 + a))))
+        return [specs[i] for i in rng.permutation(len(specs))]
+
     def __call__(self, img: Image.Image) -> Image.Image:
-        ops = []
-        if self.b > 0:
-            f = self.rng.uniform(max(0.0, 1 - self.b), 1 + self.b)
-            ops.append(lambda im, f=f: ImageEnhance.Brightness(im).enhance(f))
-        if self.c > 0:
-            f = self.rng.uniform(max(0.0, 1 - self.c), 1 + self.c)
-            ops.append(lambda im, f=f: ImageEnhance.Contrast(im).enhance(f))
-        if self.s > 0:
-            f = self.rng.uniform(max(0.0, 1 - self.s), 1 + self.s)
-            ops.append(lambda im, f=f: ImageEnhance.Color(im).enhance(f))
-        for i in self.rng.permutation(len(ops)):
-            img = ops[i](img)
+        for op, f in self.draw_params(self.b, self.c, self.s, self.rng):
+            img = self._ENHANCERS[op](img).enhance(f)
         return img
 
 
