@@ -23,8 +23,11 @@ Two schedules share one kernel body:
     both supplies the zero boundary semantics and keeps every DMA window
     in-bounds.
 
-Gradients fall back to autodiff of the jnp reference (custom VJP wrapper in
-cspn_pallas._cspn3d_fused_vjp).
+Gradients run in a fused in-VMEM Pallas backward (`_bwd3_kernel` /
+`affinity_propagate3d_fused_bwd` below: forward-state replay + reverse
+sweep per K-step segment); shapes whose backward working set exceeds the
+VMEM guard (`bwd3_fits_vmem`) fall back to autodiff of the jnp reference
+via the custom VJP wrapper in cspn_pallas.
 
 Status (TPU v5e, 48x64x128, 24 steps, C=1): with the Mosaic scoped-VMEM
 limit raised to 100 MB (the v5e has 128 MB physical VMEM; the 16 MB default

@@ -180,8 +180,11 @@ def _write(args, per_seed, n_seeds):
             sgn = -1.0 if k.startswith("DELTA") else 1.0
             d = [sgn * (per_seed["no_cspn"][i][k] - per_seed[arm][i][k])
                  for i in range(len(per_seed[arm]))]
+            # sample std (ddof=1): 5 seeds is a small sample and the
+            # plain np.std would understate the spread (ADVICE r4)
+            std = float(np.std(d, ddof=1)) if len(d) > 1 else 0.0
             paired[arm][k] = {"mean": round(float(np.mean(d)), 4),
-                              "std": round(float(np.std(d)), 4)}
+                              "std": round(std, 4), "n": len(d)}
 
     rec = {
         "what": "depth completion: train UNet +- 2D CSPN post-process from "
