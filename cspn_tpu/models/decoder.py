@@ -130,12 +130,17 @@ class SubpixelUnpoolConv(nn.Module):
         )
         pad = (1, 1) if k >= 5 else (0, 1)
         if self.quant:
-            from cspn_tpu.utils.quant import int8_conv
+            from cspn_tpu.utils.quant import (
+                int8_conv_prequant,
+                module_weight_qcache,
+            )
 
             # quantize the REINDEXED weights (per phase-expanded output
-            # channel) so dequantization happens before depth-to-space
-            y = int8_conv(x, _subpixel_weights(w, k), (1, 1), (pad, pad),
-                          out_dtype=self.dtype or x.dtype)
+            # channel) so dequantization happens before depth-to-space;
+            # served from the load-time qcache when present
+            wq, ws = module_weight_qcache(self, lambda: _subpixel_weights(w, k))
+            y = int8_conv_prequant(x, wq, ws, (1, 1), (pad, pad),
+                                   out_dtype=self.dtype or x.dtype)
             return depth_to_space2(y, self.oheight, self.owidth)
         if self.dtype is not None:
             # cast BEFORE the reindex: the reindex is pure data movement, so

@@ -96,6 +96,24 @@ def int8_conv(
 QCACHE_COL = "qcache"
 
 
+def module_weight_qcache(module: nn.Module, make_weights):
+    """Inside a module's __call__: return (wq, ws) for `make_weights()`,
+    served from the optional '{QCACHE_COL}' collection when present (or
+    being built via a mutable apply), quantized dynamically otherwise.
+    Shared by QuantConv and the subpixel decoder conv (which quantizes its
+    phase-REINDEXED weights, so the cached tensor is not the raw param).
+    """
+    if module.has_variable(QCACHE_COL, "wq_ws") or (
+        module.scope is not None
+        and module.scope.is_mutable_collection(QCACHE_COL)
+        and not module.is_initializing()
+    ):
+        return module.variable(
+            QCACHE_COL, "wq_ws", lambda: quantize_weights(make_weights())
+        ).value
+    return quantize_weights(make_weights())
+
+
 class QuantConv(nn.Module):
     """Drop-in replacement for the models' bias-free `nn.Conv`: identical
     parameter ('kernel', HWIO, float32, he_normal), int8 execution.
@@ -131,16 +149,8 @@ class QuantConv(nn.Module):
         strides = (self.stride, self.stride)
         padding = ((pad, pad), (pad, pad))
         out_dtype = self.dtype or x.dtype
-        if self.has_variable(QCACHE_COL, "wq_ws") or (
-            self.scope is not None
-            and self.scope.is_mutable_collection(QCACHE_COL)
-            and not self.is_initializing()
-        ):
-            wq, ws = self.variable(
-                QCACHE_COL, "wq_ws", lambda: quantize_weights(w)
-            ).value
-            return int8_conv_prequant(x, wq, ws, strides, padding, out_dtype)
-        return int8_conv(x, w, strides, padding, out_dtype)
+        wq, ws = module_weight_qcache(self, lambda: w)
+        return int8_conv_prequant(x, wq, ws, strides, padding, out_dtype)
 
 
 def build_weight_qcache(model, variables, sample_x):
@@ -153,7 +163,10 @@ def build_weight_qcache(model, variables, sample_x):
     mutable-qcache apply (zero FLOPs, no compile of the conv graph), then
     the values are filled by one tiny jitted pass over the params -- so
     building the cache costs a quantization sweep of the weights, not a
-    model forward.
+    model forward.  A cached shape that differs from the raw `kernel`
+    param is the subpixel decoder conv, whose serving weights are the
+    phase-REINDEXED kernel (models/decoder.py:SubpixelUnpoolConv); the
+    fill applies the same reindex.
     """
     import jax
 
@@ -163,10 +176,21 @@ def build_weight_qcache(model, variables, sample_x):
         sample_x,
     )[QCACHE_COL]
 
+    def _quantized(q_shape, kernel):
+        if tuple(q_shape.shape) == tuple(kernel.shape):
+            return quantize_weights(kernel)
+        from cspn_tpu.models.decoder import _subpixel_weights
+
+        wq = _subpixel_weights(kernel, kernel.shape[0])
+        assert tuple(q_shape.shape) == tuple(wq.shape), (
+            q_shape.shape, kernel.shape, wq.shape,
+        )
+        return quantize_weights(wq)
+
     def _fill(qnode, pnode):
         return {
             name: (
-                quantize_weights(pnode["kernel"])
+                _quantized(child[0], pnode["kernel"])
                 if name == "wq_ws"
                 else _fill(child, pnode[name])
             )

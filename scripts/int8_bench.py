@@ -54,6 +54,11 @@ def bench_fps(batch: int, repeats: int = 8) -> dict:
             variables = jax.jit(model.init)(jax.random.PRNGKey(0), x[:1])
             jax.block_until_ready(variables)
         v = cast_floating(variables, jnp.bfloat16)
+        if mode == "int8":
+            # serving config: weights pre-quantized once at load
+            from cspn_tpu.utils.quant import build_weight_qcache
+
+            v = {**v, "qcache": build_weight_qcache(model, v, x[:1])}
         fn = _make_repeated(model, v, repeats)
         t = _timed_repeat(fn, v, x, rng, repeats)
         results[mode] = batch / t

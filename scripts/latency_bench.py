@@ -6,9 +6,17 @@ output feeds the next input inside one jitted fori_loop, ONE sync at the
 end) so the tunnel's ~30 ms per-call RPC does not swamp a ~2 ms step.
 
 The int8 path serves with the load-time weight-quantization cache
-(utils/quant.build_weight_qcache): r4 measured the uncached path at
-14.0 ms b1 vs 2.7 ms bf16 because QuantConv re-quantized ~218 M static
-weights inside every call.
+(utils/quant.build_weight_qcache).  NOTE on what that fixes: the chained
+fori_loop protocol hoists loop-invariant work, so the dynamic path's
+per-call weight re-quantization was never inside these timings (compiled
+HLO: zero round ops in the while body) -- r4's reading of the b1 gap as
+re-quantization cost was wrong.  A real per-request serve (one jit call
+per request) DOES pay it; `weight_quant_ms` below measures that one-off
+directly, and with the cache the serving executable contains no weight
+rounding at all (HLO-pinned in tests/test_quant.py).  The remaining b1
+gap is the s8xs8 convs themselves: at batch 1 their MXU utilization
+loses to bf16 (they win from ~b32 up), so latency-sensitive small-batch
+serving should use the bf16 path and throughput serving int8.
 
 The artifact is (re)written after EVERY row: the int8 sweep runs last in
 the same process, and int8 convs have wedged the TPU tunnel before
@@ -48,8 +56,16 @@ def main():
         rec = {
             "what": "flagship serving latency at small batch (chained-repeat "
                     "device timing; b128 throughput lives in bench.py/README)",
+            "note": "int8 rows serve through the load-time weight-quant "
+                    "cache; weight_quant_ms is the one-off cache build = "
+                    "the per-request cost a dynamic serve would add. "
+                    "The chained protocol hoists loop-invariant quantize "
+                    "ops, so dynamic-vs-cached rows time identically here; "
+                    "the remaining int8 b1 gap is s8 conv MXU utilization "
+                    "at tiny batch (int8 wins from ~b32 up).",
             "platform": jax.devices()[0].platform,
             "model": "cspn_unet_resnet50, 24-step CSPN, 228x304",
+            **extras,
             "results": rows,
         }
         os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
@@ -59,6 +75,7 @@ def main():
 
     rng = np.random.default_rng(0)
     rows = []
+    extras = {}
     for quant in (False, True):
         model = cspn_unet_resnet50(
             cspn_backend="auto", dtype=jnp.bfloat16, quant=quant
@@ -68,8 +85,22 @@ def main():
         jax.block_until_ready(variables)
         v = cast_floating(variables, jnp.bfloat16)
         if quant:
-            # serving config: weights pre-quantized once at load
-            v = {**v, "qcache": build_weight_qcache(model, v, x1)}
+            # serving config: weights pre-quantized once at load.  Time
+            # the build itself: this is exactly the per-request overhead
+            # a dynamic (uncached) single-call serve would pay on top of
+            # the conv time (the chained rows below cannot see it).
+            import time as _time
+
+            cache = build_weight_qcache(model, v, x1)
+            jax.block_until_ready(cache)
+            ts = []
+            for _ in range(5):
+                t0 = _time.time()
+                jax.block_until_ready(build_weight_qcache(model, v, x1))
+                ts.append(_time.time() - t0)
+            extras["weight_quant_ms"] = round(float(np.median(ts)) * 1e3, 2)
+            print({"weight_quant_ms": extras["weight_quant_ms"]}, flush=True)
+            v = {**v, "qcache": cache}
         for batch in (1, 8, 32):
             x = jnp.asarray(
                 rng.standard_normal((batch, 228, 304, 4)), jnp.float32

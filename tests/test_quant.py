@@ -122,6 +122,50 @@ def test_qcache_full_model_identical_and_param_tree_untouched(rng):
     assert rel < 1e-3, rel
 
 
+def test_qcache_removes_weight_quant_from_serving_graph(rng):
+    """With the cache, the serving graph contains no weight rounding --
+    only one activation round per conv.  (The chained-repeat benches can't
+    see this: XLA hoists loop-invariant weight quantization out of the
+    fori_loop, which is how the r4 latency numbers mis-attributed the int8
+    b1 gap to re-quantization.)"""
+    from cspn_tpu.utils.quant import build_weight_qcache
+
+    x = jnp.zeros((1, 64, 96, 4), jnp.float32)
+    m = cspn_unet_resnet18(cspn_steps=2, cspn_backend="reference", quant=True)
+    variables = m.init(jax.random.PRNGKey(0), x)
+    import re
+
+    cache = build_weight_qcache(m, variables, x)
+    n_convs = len(
+        [l for p, l in jax.tree_util.tree_leaves_with_path(cache)
+         if "wq_ws" in jax.tree_util.keystr(p) and l.dtype == jnp.int8]
+    )
+    assert n_convs >= 8  # encoder + 3 decoder blocks
+
+    def serve(v, x):
+        return m.apply(v, x)
+
+    def round_shapes(v):
+        # the lowering dedups repeated same-shape blocks into called
+        # functions, so count DISTINCT round-op result shapes: weight
+        # quantization rounds HWIO kernels (leading dim 3 or 1 = the
+        # kernel tap), activation quantization rounds NHWC maps
+        # (leading dim = batch 1 at this fixture... distinguished by
+        # the 3x3 kernel prefix)
+        txt = jax.jit(serve).lower(v, x).as_text()
+        shapes = re.findall(
+            r"stablehlo\.round_nearest_even.*?tensor<([0-9x]+)xf32>", txt
+        )
+        weightish = [s for s in shapes if s.startswith(("3x3x", "1x1x"))]
+        return len(shapes), len(weightish)
+
+    dyn_all, dyn_w = round_shapes(variables)
+    cached_all, cached_w = round_shapes({**variables, "qcache": cache})
+    assert dyn_w >= 5, (dyn_all, dyn_w)  # kernel-shaped rounds present
+    assert cached_w == 0, (cached_all, cached_w)  # ...and gone with cache
+    assert cached_all < dyn_all
+
+
 def test_quant_is_serving_only(rng):
     x = jnp.asarray(rng.standard_normal((1, 32, 32, 4)).astype(np.float32))
     m = cspn_unet_resnet18(cspn_steps=2, train=True, quant=True)
