@@ -106,6 +106,11 @@ static inline uint8_t clip_u8(float v) {
   return (uint8_t)(i > 255 ? 255 : i);
 }
 
+static inline int fast_floor(double v) {
+  int i = (int)v;
+  return i - (v < (double)i);
+}
+
 // PIL convert("L") integer luma
 static inline int pil_luma(int r, int g, int b) {
   return (r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16;
@@ -169,24 +174,61 @@ static void resize_u8(SrcU8 src, int h, int w, int rh, int rw,
   ResampleWeights wy = make_weights(h, rh);
   std::vector<uint8_t> tmp((size_t)h * rw * 3);
   const long cs = src.cs, chs = src.chs;
+  // specialized horizontal passes: constant strides let the compiler
+  // vectorize the tap loop (the generic runtime-stride form measured ~2x
+  // slower end to end)
   for (int i = 0; i < h; ++i) {
     const uint8_t* row = src.at(i, 0);
     uint8_t* orow = tmp.data() + (size_t)i * rw * 3;
     const float* kc = wx.coef.data();
-    for (int xx = 0; xx < rw; ++xx, kc += wx.kmax) {
-      const uint8_t* p = row + (long)wx.xmin[xx] * cs;
-      float a0 = 0.0f, a1 = 0.0f, a2 = 0.0f;
-      int n = wx.ksz[xx];
-      for (int t = 0; t < n; ++t, p += cs) {
-        float k = kc[t];
-        a0 += k * p[0];
-        a1 += k * p[chs];
-        a2 += k * p[2 * chs];
+    if (cs == 3 && chs == 1) {  // interleaved HWC
+      for (int xx = 0; xx < rw; ++xx, kc += wx.kmax) {
+        const uint8_t* p = row + (long)wx.xmin[xx] * 3;
+        float a0 = 0.0f, a1 = 0.0f, a2 = 0.0f;
+        int n = wx.ksz[xx];
+        for (int t = 0; t < n; ++t, p += 3) {
+          float k = kc[t];
+          a0 += k * p[0];
+          a1 += k * p[1];
+          a2 += k * p[2];
+        }
+        orow[0] = clip_u8(a0);
+        orow[1] = clip_u8(a1);
+        orow[2] = clip_u8(a2);
+        orow += 3;
       }
-      orow[0] = clip_u8(a0);
-      orow[1] = clip_u8(a1);
-      orow[2] = clip_u8(a2);
-      orow += 3;
+    } else if (cs == 1) {  // planar CHW (h5 layout)
+      const uint8_t *p0 = row, *p1 = row + chs, *p2 = row + 2 * chs;
+      for (int xx = 0; xx < rw; ++xx, kc += wx.kmax) {
+        int x0 = wx.xmin[xx], n = wx.ksz[xx];
+        float a0 = 0.0f, a1 = 0.0f, a2 = 0.0f;
+        for (int t = 0; t < n; ++t) {
+          float k = kc[t];
+          a0 += k * p0[x0 + t];
+          a1 += k * p1[x0 + t];
+          a2 += k * p2[x0 + t];
+        }
+        orow[0] = clip_u8(a0);
+        orow[1] = clip_u8(a1);
+        orow[2] = clip_u8(a2);
+        orow += 3;
+      }
+    } else {  // generic strided view
+      for (int xx = 0; xx < rw; ++xx, kc += wx.kmax) {
+        const uint8_t* p = row + (long)wx.xmin[xx] * cs;
+        float a0 = 0.0f, a1 = 0.0f, a2 = 0.0f;
+        int n = wx.ksz[xx];
+        for (int t = 0; t < n; ++t, p += cs) {
+          float k = kc[t];
+          a0 += k * p[0];
+          a1 += k * p[chs];
+          a2 += k * p[2 * chs];
+        }
+        orow[0] = clip_u8(a0);
+        orow[1] = clip_u8(a1);
+        orow[2] = clip_u8(a2);
+        orow += 3;
+      }
     }
   }
   dst.resize((size_t)rh * rw * 3);
@@ -411,14 +453,27 @@ int cspn_aug_pack(const uint8_t* rgb, long r_rs, long r_cs, long r_chs,
   // applied first
   int gray_mean = 0;
   if (contrast_idx >= 0) {
+    // channel-uniform prior ops (brightness) compose into one u8 LUT;
+    // only a prior saturation op (cross-channel) needs full per-pixel math
+    bool lutable = true;
+    for (int t = 0; t < contrast_idx; ++t)
+      if (ops[t].op == 2) lutable = false;
+    uint8_t lut[256];
+    if (lutable) {
+      for (int v = 0; v < 256; ++v) {
+        int r = v, g = v, b = v;
+        apply_jitter(r, g, b, ops.data(), contrast_idx, 0);
+        lut[v] = (uint8_t)r;
+      }
+    }
     double lsum = 0.0;
     for (int y = 0; y < rh; ++y) {
       double yy = y + 0.5;
       double xin = m.a * 0.5 + m.b * yy + m.c;
       double yin = m.d * 0.5 + m.e * yy + m.f;
       for (int x = 0; x < rw; ++x, xin += m.a, yin += m.d) {
-        int sx = m.identity ? x : (int)std::floor(xin);
-        int sy = m.identity ? y : (int)std::floor(yin);
+        int sx = m.identity ? x : fast_floor(xin);
+        int sy = m.identity ? y : fast_floor(yin);
         int r = 0, g = 0, b = 0;
         if (sx >= 0 && sx < rw && sy >= 0 && sy < rh) {
           const uint8_t* p = v8.at(sy, sx);
@@ -426,8 +481,12 @@ int cspn_aug_pack(const uint8_t* rgb, long r_rs, long r_cs, long r_chs,
           g = p[v8.chs];
           b = p[2 * v8.chs];
         }
-        if (contrast_idx > 0) apply_jitter(r, g, b, ops.data(), contrast_idx, 0);
-        lsum += pil_luma(r, g, b);
+        if (lutable) {
+          lsum += pil_luma(lut[r], lut[g], lut[b]);
+        } else {
+          apply_jitter(r, g, b, ops.data(), contrast_idx, 0);
+          lsum += pil_luma(r, g, b);
+        }
       }
     }
     gray_mean = (int)(lsum / ((double)rh * rw) + 0.5);
@@ -457,8 +516,8 @@ int cspn_aug_pack(const uint8_t* rgb, long r_rs, long r_cs, long r_chs,
     int cxp = x0;
     for (int x = 0; x < ow;
          ++x, xin += xstep * m.a, yin += xstep * m.d, cxp += (int)xstep) {
-      int sx = m.identity ? cxp : (int)std::floor(xin);
-      int sy = m.identity ? cyp : (int)std::floor(yin);
+      int sx = m.identity ? cxp : fast_floor(xin);
+      int sy = m.identity ? cyp : fast_floor(yin);
       int r = 0, g = 0, b = 0;
       float d = 0.0f;
       if (sx >= 0 && sx < rw && sy >= 0 && sy < rh) {
