@@ -195,6 +195,40 @@ def test_dataset_train_fused_close_to_pil_chain(tmp_path, rng):
                                    rtol=1e-6)
 
 
+def test_kitti_dataset_fused_close_to_pil_chain(tmp_path, rng):
+    """KITTI geometry through the fused path: box pre-crop (numpy slice of
+    the planar source), NO resize, rotation/jitter/crop/flip, valid-pixel
+    sparse denominator (kitti_dataset_loader.py:82,138 semantics)."""
+    import h5py
+
+    from cspn_tpu.data.datasets import KittiDataset
+
+    rows = []
+    for i in range(2):
+        p = tmp_path / f"k{i}.h5"
+        with h5py.File(p, "w") as f:
+            f["rgb"] = rng.integers(0, 256, (3, 375, 1242), dtype=np.uint8)
+            d = rng.uniform(0.5, 80.0, (375, 1242)).astype(np.float32)
+            d[rng.random((375, 1242)) < 0.6] = 0.0  # sparse-gt-like zeros
+            f["depth"] = d
+    rows = [str(tmp_path / f"k{i}.h5") for i in range(2)]
+    csv = tmp_path / "k.csv"
+    csv.write_text("Name\n" + "\n".join(rows) + "\n")
+    kw = dict(split="train", n_sample=500, seed=13)
+    for idx in range(2):
+        a = KittiDataset(str(csv), use_native=True, **kw)[idx]
+        b = KittiDataset(str(csv), use_native=False, **kw)[idx]
+        assert a["rgbd"].shape == b["rgbd"].shape == (228, 912, 4)
+        dr = np.abs(a["rgbd"][..., :3] - b["rgbd"][..., :3])
+        assert np.median(dr) < 0.06, np.median(dr)
+        assert (dr > 0.12).mean() < 0.01
+        dd = np.abs(a["depth"] - b["depth"])
+        assert (dd > 1e-3).mean() < 0.005
+        # valid-denominator sparse count ~ n_sample over the valid pixels
+        n_nz = int((a["rgbd"][..., 3] > 0).sum())
+        assert 300 <= n_nz <= 700, n_nz
+
+
 def test_dataset_val_fused_matches_pil_chain(tmp_path, rng):
     """Val geometry (resize + crop only): fused native is essentially
     exact vs the PIL chain."""
