@@ -132,15 +132,61 @@ class SubpixelUnpoolConv(nn.Module):
         if self.quant:
             from cspn_tpu.utils.quant import (
                 int8_conv_prequant,
+                module_qcache,
                 module_weight_qcache,
+                quantize_tensor,
+                quantize_weights,
             )
 
-            # quantize the REINDEXED weights (per phase-expanded output
-            # channel) so dequantization happens before depth-to-space;
-            # served from the load-time qcache when present
-            wq, ws = module_weight_qcache(self, lambda: _subpixel_weights(w, k))
-            y = int8_conv_prequant(x, wq, ws, (1, 1), (pad, pad),
-                                   out_dtype=self.dtype or x.dtype)
+            out_dtype = self.dtype or x.dtype
+            if self.features >= 128:
+                # int8 phase-SPLIT (same >=128 gate as the float path
+                # below): the fused zero-padded kernel wastes the same 44%
+                # of MXU slots in s8 as in bf16.  Bit-identical to the
+                # fused int8 form: the per-output-channel scales of the
+                # expanded kernel ARE the per-(phase, channel) scales
+                # (structural zeros change neither the abs-max nor the s32
+                # accumulation), and the px-major concat preserves the
+                # depth_to_space2 layout.  One activation quantization is
+                # shared by all four phase convs.
+                phases = module_qcache(
+                    self,
+                    lambda: tuple(
+                        quantize_weights(_phase_kernel(w, k, px2, py2))
+                        for px2 in range(2)
+                        for py2 in range(2)
+                    ),
+                )
+                xq, xs = quantize_tensor(x)
+                parts = []
+                idx = 0
+                for px2 in range(2):
+                    for py2 in range(2):
+                        _, (plo_h, phi_h) = _phase_taps(k, py2)
+                        _, (plo_w, phi_w) = _phase_taps(k, px2)
+                        wq, ws = phases[idx]
+                        idx += 1
+                        yq = jax.lax.conv_general_dilated(
+                            xq,
+                            wq,
+                            window_strides=(1, 1),
+                            padding=((plo_h, phi_h), (plo_w, phi_w)),
+                            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                            preferred_element_type=jnp.int32,
+                        )
+                        parts.append(
+                            (yq.astype(jnp.float32) * (xs * ws)).astype(out_dtype)
+                        )
+                y = jnp.concatenate(parts, axis=-1)
+            else:
+                # quantize the REINDEXED weights (per phase-expanded output
+                # channel) so dequantization happens before depth-to-space;
+                # served from the load-time qcache when present
+                wq, ws = module_weight_qcache(
+                    self, lambda: _subpixel_weights(w, k)
+                )
+                y = int8_conv_prequant(x, wq, ws, (1, 1), (pad, pad),
+                                       out_dtype=out_dtype)
             return depth_to_space2(y, self.oheight, self.owidth)
         if self.dtype is not None:
             # cast BEFORE the reindex: the reindex is pure data movement, so

@@ -96,22 +96,25 @@ def int8_conv(
 QCACHE_COL = "qcache"
 
 
-def module_weight_qcache(module: nn.Module, make_weights):
-    """Inside a module's __call__: return (wq, ws) for `make_weights()`,
-    served from the optional '{QCACHE_COL}' collection when present (or
-    being built via a mutable apply), quantized dynamically otherwise.
-    Shared by QuantConv and the subpixel decoder conv (which quantizes its
-    phase-REINDEXED weights, so the cached tensor is not the raw param).
-    """
+def module_qcache(module: nn.Module, make_quantized):
+    """Inside a module's __call__: return `make_quantized()` (any pytree of
+    pre-quantized weights), served from the optional '{QCACHE_COL}'
+    collection when present (or being built via a mutable apply), computed
+    dynamically otherwise."""
     if module.has_variable(QCACHE_COL, "wq_ws") or (
         module.scope is not None
         and module.scope.is_mutable_collection(QCACHE_COL)
         and not module.is_initializing()
     ):
-        return module.variable(
-            QCACHE_COL, "wq_ws", lambda: quantize_weights(make_weights())
-        ).value
-    return quantize_weights(make_weights())
+        return module.variable(QCACHE_COL, "wq_ws", make_quantized).value
+    return make_quantized()
+
+
+def module_weight_qcache(module: nn.Module, make_weights):
+    """`module_qcache` specialization: one (wq, ws) pair for `make_weights()`.
+    Shared by QuantConv and the subpixel decoder conv (which quantizes its
+    phase-REINDEXED weights, so the cached tensor is not the raw param)."""
+    return module_qcache(module, lambda: quantize_weights(make_weights()))
 
 
 class QuantConv(nn.Module):
@@ -176,7 +179,19 @@ def build_weight_qcache(model, variables, sample_x):
         sample_x,
     )[QCACHE_COL]
 
-    def _quantized(q_shape, kernel):
+    def _quantized(q_val, kernel):
+        if len(q_val) == 4:
+            # subpixel PHASE-SPLIT decoder conv: four exact per-phase
+            # kernels (px-major order, matching the forward's concat)
+            from cspn_tpu.models.decoder import _phase_kernel
+
+            k = kernel.shape[0]
+            return tuple(
+                quantize_weights(_phase_kernel(kernel, k, px2, py2))
+                for px2 in range(2)
+                for py2 in range(2)
+            )
+        q_shape = q_val[0]
         if tuple(q_shape.shape) == tuple(kernel.shape):
             return quantize_weights(kernel)
         from cspn_tpu.models.decoder import _subpixel_weights
@@ -190,7 +205,7 @@ def build_weight_qcache(model, variables, sample_x):
     def _fill(qnode, pnode):
         return {
             name: (
-                _quantized(child[0], pnode["kernel"])
+                _quantized(child, pnode["kernel"])
                 if name == "wq_ws"
                 else _fill(child, pnode[name])
             )

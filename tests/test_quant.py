@@ -166,6 +166,41 @@ def test_qcache_removes_weight_quant_from_serving_graph(rng):
     assert cached_all < dyn_all
 
 
+def test_int8_subpixel_phase_split_identical_to_fused(rng):
+    """The int8 phase-split decoder conv (features >= 128) must equal the
+    fused zero-padded-kernel int8 form bit-for-bit: structural zeros
+    change neither the per-(phase,channel) abs-max scales nor the s32
+    accumulation, and the px-major concat preserves the layout."""
+    from cspn_tpu.models.decoder import SubpixelUnpoolConv, _subpixel_weights
+    from cspn_tpu.models.decoder import depth_to_space2
+    from cspn_tpu.utils.quant import build_weight_qcache, int8_conv
+
+    for k, cin, cout, h, w_ in ((5, 32, 128, 12, 16), (3, 16, 128, 10, 14)):
+        x = jnp.asarray(rng.standard_normal((2, h, w_, cin)).astype(np.float32))
+        mod = SubpixelUnpoolConv(cout, k, 2 * h, 2 * w_, quant=True)
+        variables = mod.init(jax.random.PRNGKey(0), x)
+        y_split = mod.apply(variables, x)
+        # fused reference: one int8 conv over the reindexed kernel
+        wk = variables["params"]["kernel"]
+        pad = (1, 1) if k >= 5 else (0, 1)
+        y_fused = depth_to_space2(
+            int8_conv(x, _subpixel_weights(wk, k), (1, 1), (pad, pad),
+                      out_dtype=x.dtype),
+            2 * h, 2 * w_,
+        )
+        np.testing.assert_array_equal(np.asarray(y_split), np.asarray(y_fused))
+        # the load-time cache reproduces the result to quantization
+        # tolerance (the builder's jitted abs-max can differ by one ulp,
+        # flipping near-.5 weights by +-1 int8 step -- same bound as
+        # test_qcache_full_model_identical_and_param_tree_untouched)
+        cache = build_weight_qcache(mod, variables, x)
+        y_cached = np.asarray(mod.apply({**variables, "qcache": cache}, x))
+        assert len(cache["wq_ws"]) == 4  # four per-phase pairs
+        ys = np.asarray(y_split)
+        rel = np.linalg.norm(y_cached - ys) / max(np.linalg.norm(ys), 1e-9)
+        assert rel < 1e-3, rel
+
+
 def test_quant_is_serving_only(rng):
     x = jnp.asarray(rng.standard_normal((1, 32, 32, 4)).astype(np.float32))
     m = cspn_unet_resnet18(cspn_steps=2, train=True, quant=True)
