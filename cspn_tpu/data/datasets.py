@@ -272,7 +272,11 @@ class _DepthCompletionDataset:
                 if self.sparse_denom == "total":
                     p = self.n_sample / depth_raw.size
                 else:
-                    n_valid = native.count_valid(depth_raw) or 1
+                    # the reference counts valid pixels AFTER depth /= s
+                    # (kitti_dataset_loader.py:132-144): d/s > t <=> d > t/inv
+                    n_valid = native.count_valid(
+                        depth_raw, threshold=1e-4 / inv_scale
+                    ) or 1
                     p = self.n_sample / max(n_valid, 1)
                 packed = native.pack_sample(
                     np.asarray(rgb, dtype=np.uint8),

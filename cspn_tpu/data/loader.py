@@ -91,6 +91,13 @@ class DataLoader:
         self._epoch = 0
         self._pool: dict | None = None
         self._task_seq = 0
+        # cross-iteration result routing: the pool (and its result queue)
+        # is shared by all live iterations of this loader, so whichever
+        # generator drains the queue must deliver results to the RIGHT
+        # iteration (zip(loader, loader) interleaves two).
+        self._gen_seq = 0
+        self._pending: dict[int, tuple[int, int]] = {}  # task -> (gen, idx)
+        self._gen_results: dict[int, dict[int, object]] = {}
 
     def _indices(self) -> np.ndarray:
         idx = np.arange(len(self.dataset))
@@ -222,6 +229,16 @@ class DataLoader:
         except Exception:
             pass
 
+    def _stash(self, task_id, payload) -> None:
+        """Deliver a queue result to whichever live iteration issued it;
+        results of abandoned iterations (task id no longer pending) drop."""
+        target = self._pending.pop(task_id, None)
+        if target is not None:
+            gen_id, idx = target
+            bucket = self._gen_results.get(gen_id)
+            if bucket is not None:
+                bucket[idx] = payload
+
     def _iter_processes(self, batches) -> Iterator[dict[str, np.ndarray]]:
         import queue as queue_lib
 
@@ -230,60 +247,60 @@ class DataLoader:
         procs = pool["procs"]
         n_batches = len(batches)
         window = self.prefetch + self.num_workers
-        pending: dict[int, int] = {}  # task id -> batch position
-        buffered: dict[int, object] = {}  # batch position -> payload
+        gen_id = self._gen_seq
+        self._gen_seq += 1
+        buffered = self._gen_results.setdefault(gen_id, {})
         next_task = 0
 
         def submit():
             nonlocal next_task
-            pending[self._task_seq] = next_task
+            self._pending[self._task_seq] = (gen_id, next_task)
             task_q.put((self._task_seq, np.asarray(batches[next_task])))
             self._task_seq += 1
             next_task += 1
 
-        def stash(task_id, payload):
-            # results from an earlier, abandoned iteration carry task ids
-            # this iteration never issued: drop them
-            if task_id in pending:
-                buffered[pending.pop(task_id)] = payload
-
-        while next_task < min(window, n_batches):
-            submit()
-        for i in range(n_batches):
-            waited = 0.0
-            while i not in buffered:
-                try:
-                    task_id, payload = result_q.get(timeout=5.0)
-                except queue_lib.Empty:
-                    dead = [p for p in procs if not p.is_alive()]
-                    if dead:
-                        # drain everything already delivered before
-                        # deciding: the dead worker's task need not be the
-                        # batch this loop is awaiting (ADVICE r4)
-                        try:
-                            while True:
-                                stash(*result_q.get_nowait())
-                        except queue_lib.Empty:
-                            pass
-                        if i in buffered:
-                            break
-                        raise RuntimeError(
-                            "DataLoader worker process died (exitcode "
-                            f"{dead[0].exitcode}) and batch {i} has not "
-                            "arrived; likely OOM-killed or crashed in "
-                            "native code"
-                        )
-                    waited += 5.0
-                    if waited >= self.stall_timeout:
-                        raise RuntimeError(
-                            f"DataLoader stalled {waited:.0f}s waiting "
-                            f"for batch {i}; workers alive but silent"
-                        )
-                    continue
-                stash(task_id, payload)
-            if next_task < n_batches:
+        try:
+            while next_task < min(window, n_batches):
                 submit()
-            item = buffered.pop(i)
-            if isinstance(item, tuple) and item and item[0] == "error":
-                raise RuntimeError(f"DataLoader worker failed:\n{item[1]}")
-            yield item
+            for i in range(n_batches):
+                waited = 0.0
+                while i not in buffered:
+                    try:
+                        task_id, payload = result_q.get(timeout=5.0)
+                    except queue_lib.Empty:
+                        dead = [p for p in procs if not p.is_alive()]
+                        if dead:
+                            # drain everything already delivered before
+                            # deciding: the dead worker's task need not be
+                            # the batch this loop is awaiting (ADVICE r4)
+                            try:
+                                while True:
+                                    self._stash(*result_q.get_nowait())
+                            except queue_lib.Empty:
+                                pass
+                            if i in buffered:
+                                break
+                            raise RuntimeError(
+                                "DataLoader worker process died (exitcode "
+                                f"{dead[0].exitcode}) and batch {i} has "
+                                "not arrived; likely OOM-killed or "
+                                "crashed in native code"
+                            )
+                        waited += 5.0
+                        if waited >= self.stall_timeout:
+                            raise RuntimeError(
+                                f"DataLoader stalled {waited:.0f}s waiting "
+                                f"for batch {i}; workers alive but silent"
+                            )
+                        continue
+                    self._stash(task_id, payload)
+                if next_task < n_batches:
+                    submit()
+                item = buffered.pop(i)
+                if isinstance(item, tuple) and item and item[0] == "error":
+                    raise RuntimeError(f"DataLoader worker failed:\n{item[1]}")
+                yield item
+        finally:
+            self._gen_results.pop(gen_id, None)
+            for tid in [t for t, (g, _) in self._pending.items() if g == gen_id]:
+                self._pending.pop(tid, None)

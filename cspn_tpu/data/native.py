@@ -28,14 +28,7 @@ def _load():
             return _lib
         _tried = True
         try:
-            # always invoke make: it is a no-op when libcspn_host.so is
-            # fresh and rebuilds it when host_pipeline.cpp changed
-            subprocess.run(
-                ["make", "-C", os.path.abspath(_NATIVE_DIR)],
-                check=True,
-                capture_output=True,
-                timeout=120,
-            )
+            _maybe_build()
             lib = ctypes.CDLL(_LIB_PATH)
             lib.cspn_pack_sample.argtypes = [
                 ctypes.c_void_p,  # rgb u8
@@ -86,6 +79,44 @@ def _load():
         except Exception:
             _lib = None
         return _lib
+
+
+def _maybe_build() -> None:
+    """Build libcspn_host.so when missing or older than its source.
+
+    The mtime check keeps the common path make-free (no toolchain needed
+    on hosts that ship a fresh .so, and spawn workers do not each shell
+    out); an flock serializes the rebuild so concurrent processes racing
+    a stale .so cannot interleave g++ writes with dlopen.  A failed build
+    is non-fatal when a loadable .so already exists."""
+    src = os.path.join(os.path.abspath(_NATIVE_DIR), "host_pipeline.cpp")
+    try:
+        fresh = os.path.getmtime(_LIB_PATH) >= os.path.getmtime(src)
+    except OSError:
+        fresh = False
+    if fresh:
+        return
+    import fcntl
+
+    lock_path = os.path.join(os.path.abspath(_NATIVE_DIR), ".build_lock")
+    with open(lock_path, "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            # re-check under the lock: another process may have built it
+            if os.path.getmtime(_LIB_PATH) >= os.path.getmtime(src):
+                return
+        except OSError:
+            pass
+        try:
+            subprocess.run(
+                ["make", "-C", os.path.abspath(_NATIVE_DIR)],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        except Exception:
+            if not os.path.exists(_LIB_PATH):
+                raise  # nothing to fall back to
 
 
 def available() -> bool:

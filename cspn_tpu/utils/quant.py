@@ -98,7 +98,7 @@ QCACHE_COL = "qcache"
 
 def module_qcache(module: nn.Module, make_quantized):
     """Inside a module's __call__: return `make_quantized()` (any pytree of
-    pre-quantized weights), served from the optional '{QCACHE_COL}'
+    pre-quantized weights), served from the optional 'qcache'
     collection when present (or being built via a mutable apply), computed
     dynamically otherwise."""
     if module.has_variable(QCACHE_COL, "wq_ws") or (
@@ -123,10 +123,10 @@ class QuantConv(nn.Module):
 
     Weight quantization has two modes:
       - dynamic (default): quantize `kernel` on every call.  Zero setup,
-        but at serving time it re-quantizes ~218 M static weights per
-        call, which dominates small-batch latency (14 ms at b1 vs 2.7 ms
-        bf16, result/latency_bench.json).
-      - cached: when a '{QCACHE_COL}' variable collection is supplied to
+        but a per-request serve then re-quantizes ~218 M static weights
+        per call (the cost hides in chained benches because XLA hoists
+        loop-invariant quantize ops -- see scripts/latency_bench.py).
+      - cached: when a 'qcache' variable collection is supplied to
         `.apply` (built once at checkpoint-load time by
         `build_weight_qcache`), the pre-quantized (wq, ws) pair is read
         from it and only the activations quantize dynamically.  Params are
@@ -159,7 +159,7 @@ class QuantConv(nn.Module):
 def build_weight_qcache(model, variables, sample_x):
     """Pre-quantize every QuantConv kernel ONCE at serving-load time.
 
-    Returns the '{QCACHE_COL}' collection to merge into the serving
+    Returns the 'qcache' collection to merge into the serving
     variables: ``model.apply({**variables, "qcache": qc}, x)``.
 
     The cache STRUCTURE is discovered with `jax.eval_shape` over a

@@ -45,6 +45,29 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REPORT_KEYS = ("RMSE", "MAE", "ABS_REL", "DELTA1.02", "DELTA1.05", "DELTA1.10")
 
 
+def paired_deltas(per_seed: dict, keys=REPORT_KEYS) -> dict:
+    """Per-seed paired improvements of each arm vs no_cspn: positive =
+    better (errors go down, DELTA thresholds go up); ddof=1 sample std
+    (5 seeds is a small sample) with n reported.  Shared by this script
+    and scripts/merge_ablation_artifacts.py -- one copy of the
+    statistical contract."""
+    import numpy as np
+
+    paired = {}
+    for arm, rs in per_seed.items():
+        if arm == "no_cspn" or not rs:
+            continue
+        paired[arm] = {}
+        for k in keys:
+            sgn = -1.0 if k.startswith("DELTA") else 1.0
+            d = [sgn * (per_seed["no_cspn"][i][k] - rs[i][k])
+                 for i in range(len(rs))]
+            std = float(np.std(d, ddof=1)) if len(d) > 1 else 0.0
+            paired[arm][k] = {"mean": round(float(np.mean(d)), 4),
+                              "std": round(std, 4), "n": len(d)}
+    return paired
+
+
 class _Cached:
     """Materialize a deterministic dataset once (samples are ~1.4 MB each)."""
 
@@ -162,7 +185,6 @@ def main():
 
 def _write(args, per_seed, n_seeds):
     import jax
-    import numpy as np
 
     means = {
         arm: {k: round(sum(r[k] for r in rs) / len(rs), 4) for k in rs[0]}
@@ -170,21 +192,7 @@ def _write(args, per_seed, n_seeds):
         if rs
     }
     print(f"means over {n_seeds} seed(s): {means}", flush=True)
-    paired = {}
-    for arm in ("cspn", "cspn_abs"):
-        if not per_seed[arm]:
-            continue
-        paired[arm] = {}
-        for k in REPORT_KEYS:
-            # improvement sign: errors go down, deltas go up
-            sgn = -1.0 if k.startswith("DELTA") else 1.0
-            d = [sgn * (per_seed["no_cspn"][i][k] - per_seed[arm][i][k])
-                 for i in range(len(per_seed[arm]))]
-            # sample std (ddof=1): 5 seeds is a small sample and the
-            # plain np.std would understate the spread (ADVICE r4)
-            std = float(np.std(d, ddof=1)) if len(d) > 1 else 0.0
-            paired[arm][k] = {"mean": round(float(np.mean(d)), 4),
-                              "std": round(std, 4), "n": len(d)}
+    paired = paired_deltas(per_seed)
 
     rec = {
         "what": "depth completion: train UNet +- 2D CSPN post-process from "

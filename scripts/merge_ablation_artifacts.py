@@ -11,11 +11,12 @@ Usage: python scripts/merge_ablation_artifacts.py out.json part1.json part2.json
 from __future__ import annotations
 
 import json
+import os
 import sys
 
-import numpy as np
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-REPORT_KEYS = ("RMSE", "MAE", "ABS_REL", "DELTA1.02", "DELTA1.05", "DELTA1.10")
+from completion_refinement_ablation import paired_deltas  # noqa: E402
 
 
 def main():
@@ -34,18 +35,7 @@ def main():
         arm: {k: round(sum(r[k] for r in rs) / len(rs), 4) for k in rs[0]}
         for arm, rs in per_seed.items()
     }
-    paired = {}
-    for arm in per_seed:
-        if arm == "no_cspn":
-            continue
-        paired[arm] = {}
-        for k in REPORT_KEYS:
-            sgn = -1.0 if k.startswith("DELTA") else 1.0
-            d = [sgn * (per_seed["no_cspn"][i][k] - per_seed[arm][i][k])
-                 for i in range(n_seeds)]
-            std = float(np.std(d, ddof=1)) if len(d) > 1 else 0.0
-            paired[arm][k] = {"mean": round(float(np.mean(d)), 4),
-                              "std": round(std, 4), "n": len(d)}
+    paired = paired_deltas(per_seed)
     rec = dict(base)
     rec["config"] = dict(base["config"], seeds=n_seeds)
     rec["paired_improvement_vs_no_cspn"] = paired

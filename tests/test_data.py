@@ -396,6 +396,19 @@ def test_loader_process_worker_death_raises_not_hangs():
                         worker_mode="process"))
 
 
+def test_loader_process_mode_concurrent_iterations():
+    """Two interleaved live iterations share the persistent pool; results
+    must route to the iteration that issued them (a drained result for the
+    OTHER generator is delivered, not dropped)."""
+    ds = SyntheticDepthDataset(length=8, hw=(16, 24), n_sample=20)
+    loader = DataLoader(ds, 4, num_workers=2, worker_mode="process")
+    ref = [b["rgbd"] for b in loader]
+    for a, b in zip(loader, loader):
+        np.testing.assert_array_equal(a["rgbd"], b["rgbd"])
+    assert len(ref) == 2
+    loader.close()
+
+
 def test_loader_process_mode_safe_after_jax_init():
     """The process loader must be buildable AFTER the JAX runtime is live:
     the parent is multithreaded by then, and the old fork() start method
