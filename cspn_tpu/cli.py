@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 import sys
 
 
@@ -186,6 +187,45 @@ def cmd_eval(args):
              torch_checkpoint=args.import_torch_checkpoint)
 
 
+def cmd_infer(args):
+    """Batch inference through the serving front-end (cspn_tpu/serving.py):
+    load best_model once, compile the bucket ladder, stream the val split
+    through DepthServer.predict (bf16/int8 routed per bucket), dump
+    %05d_pred.png depth maps.  The serving analog of the reference's
+    eval.py:144 forward loop, minus metrics."""
+    import numpy as np
+
+    from cspn_tpu.serving import load_server
+    from cspn_tpu.train.factory import build_dataset
+    from cspn_tpu.utils.images import save_pred_image
+
+    cfg = _build_config(args)
+    buckets = tuple(int(b) for b in args.buckets.split(","))
+    int8_from = args.int8_from if args.int8_from > 0 else None
+    srv = load_server(
+        cfg,
+        torch_checkpoint=args.import_torch_checkpoint,
+        buckets=buckets,
+        int8_from=int8_from,
+    )
+    ds = build_dataset(cfg, "val", seed=args.seed)
+    h, w = ds[0]["rgbd"].shape[:2]
+    srv.warmup(h, w)
+    out_dir = args.out_dir or os.path.join(cfg.best_model_dir, "infer_result")
+    n = len(ds) if args.max_frames is None else min(len(ds), args.max_frames)
+    group = buckets[-1]
+    for start in range(0, n, group):
+        stop = min(start + group, n)
+        batch = np.stack([ds[i]["rgbd"] for i in range(start, stop)])
+        preds = srv.predict(batch)
+        for j in range(stop - start):
+            save_pred_image(cfg.data.dataset, out_dir, start + j, preds[j])
+    print(
+        f"==> wrote {n} predictions to {out_dir} "
+        f"(served bf16={srv.served['bf16']} int8={srv.served['int8']})"
+    )
+
+
 def cmd_demo(args):
     """Op-level demo mirroring cspn_paddle/demo.py: random guidance/feature
     volumes through `prop_step` propagation steps, one optimization loop
@@ -355,6 +395,23 @@ def main(argv=None):
                              "(full-model state dict import; parity pinned by "
                              "tests/test_torch_oracle.py)")
     p_eval.set_defaults(fn=cmd_eval)
+
+    p_inf = sub.add_parser(
+        "infer",
+        help="batch inference via the bucketed bf16/int8 serving front-end",
+    )
+    _add_common_overrides(p_inf)
+    p_inf.add_argument("--buckets", default="1,8,32,128",
+                       help="comma-separated compiled batch buckets")
+    p_inf.add_argument("--int8-from", type=int, default=8,
+                       help="smallest bucket served int8 (<=0: bf16 only); "
+                            "default 8 = measured v5e crossover")
+    p_inf.add_argument("--out-dir", default=None,
+                       help="default <best_model_dir>/infer_result")
+    p_inf.add_argument("--max-frames", type=int, default=None)
+    p_inf.add_argument("--seed", type=int, default=0)
+    p_inf.add_argument("--import-torch-checkpoint", default=None)
+    p_inf.set_defaults(fn=cmd_infer)
 
     p_demo = sub.add_parser("demo", help="2D/3D CSPN op demo (paddle demo.py)")
     p_demo.add_argument("--dim-num", type=int, default=3, choices=[2, 3])

@@ -40,7 +40,16 @@ def save_eval_images(
     Image.fromarray(_to_u8(gt_depth * scale), mode="L").save(
         os.path.join(folder, "%05d_gt.png" % index)
     )
-    Image.fromarray(_to_u8(pred_depth * scale), mode="L").save(
-        os.path.join(folder, "%05d_pred.png" % index)
-    )
+    save_pred_image(dataset, folder, index, pred_depth)
     return folder
+
+
+def save_pred_image(
+    dataset: str, folder: str, index: int, pred_depth: np.ndarray
+) -> str:
+    """Prediction-only dump (the `infer` CLI path: no gt/input to pair)."""
+    os.makedirs(folder, exist_ok=True)
+    scale = _DEPTH_VIS_SCALE.get(dataset, 1.0)
+    path = os.path.join(folder, "%05d_pred.png" % index)
+    Image.fromarray(_to_u8(pred_depth * scale), mode="L").save(path)
+    return path

@@ -23,6 +23,11 @@ The artifact is (re)written after EVERY row: the int8 sweep runs last in
 the same process, and int8 convs have wedged the TPU tunnel before
 (CLAUDE.md 2026-08-20) -- a wedge must not lose the bf16 rows.
 
+The artifact also carries the derived `hybrid_policy` table: the
+per-bucket latency of cspn_tpu/serving.DepthServer, which routes buckets
+below `int8_from`=8 to bf16 and the rest to int8 -- b1 serves at the bf16
+latency while saturated batches keep int8 throughput.
+
 Usage: timeout 1200 python scripts/latency_bench.py [--out result/latency_bench.json]
 """
 
@@ -120,6 +125,30 @@ def main():
             write(rows)
             print(rec, flush=True)
 
+    # -- hybrid serving policy (cspn_tpu/serving.DepthServer) --------------
+    # The server routes each batch bucket to the faster path (bf16 below
+    # int8_from=8, int8 above); its per-bucket latency IS the chosen path's
+    # row (dispatch is host Python, ns-scale), so derive the hybrid table
+    # from the measured rows rather than re-timing through predict() --
+    # one predict call = one tunnel RPC (~30 ms) which would swamp a 2.8 ms
+    # step.  Record whether the measured winner agrees with the policy.
+    by = {(r["path"], r["batch"]): r for r in rows}
+    hybrid = []
+    for batch in (1, 8, 32):
+        policy_path = "int8" if batch >= 8 else "bf16"
+        measured_best = min(
+            ("bf16", "int8"), key=lambda p: by[(p, batch)]["latency_ms"]
+        )
+        hybrid.append(
+            {
+                "batch": batch,
+                "path": policy_path,
+                "latency_ms": by[(policy_path, batch)]["latency_ms"],
+                "frames_per_s": by[(policy_path, batch)]["frames_per_s"],
+                "policy_matches_measured_best": policy_path == measured_best,
+            }
+        )
+    extras["hybrid_policy"] = {"int8_from": 8, "results": hybrid}
     print(json.dumps(write(rows)), flush=True)
 
 
