@@ -226,6 +226,70 @@ def cmd_infer(args):
     )
 
 
+def cmd_export(args):
+    """Serving-artifact export (cspn_tpu/export.py): trace the eval graph
+    at the serving geometry, serialize it as StableHLO and bundle it (plus
+    the weights, unless --no-embed) into ONE file loadable WITHOUT the
+    model zoo / config system on the serving host.  The compiler-level
+    analog of distributing best_model.pth (reference eval.py:106-118)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cspn_tpu.export import export_serving, load_artifact, save_artifact
+    from cspn_tpu.train.evaluate import load_eval_state
+    from cspn_tpu.train.loop import build_model
+
+    cfg = _build_config(args)
+    _, state, extra = load_eval_state(
+        cfg, torch_checkpoint=args.import_torch_checkpoint
+    )
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    model = build_model(cfg, train=False)
+    qcache = extra.get("qcache")
+    if args.height and args.width:
+        h, w = args.height, args.width
+    else:
+        from cspn_tpu.train.factory import build_dataset
+
+        ds = build_dataset(cfg, "val", seed=0)
+        h, w = ds[0]["rgbd"].shape[:2]
+    exp = export_serving(model, variables, h, w, batch=args.batch, qcache=qcache)
+    meta = {
+        "arch": cfg.model.arch,
+        "dtype": cfg.model.dtype,
+        "cspn_steps": cfg.model.cspn_steps,
+        "height": h,
+        "width": w,
+    }
+    save_artifact(
+        exp,
+        args.out,
+        variables=None if args.no_embed else variables,
+        qcache=None if args.no_embed else qcache,
+        meta=meta,
+    )
+    batch_desc = "b (symbolic)" if args.batch is None else str(args.batch)
+    print(
+        f"==> wrote {args.out} ({os.path.getsize(args.out) / 1e6:.1f} MB, "
+        f"platforms {exp.platforms}, batch {batch_desc})"
+    )
+    if args.check:
+        art = load_artifact(args.out)
+        n = args.batch or 2
+        x = jnp.asarray(
+            np.random.default_rng(0).standard_normal((n, h, w, 4)), jnp.float32
+        )
+        want = model.apply(
+            dict(variables, qcache=qcache) if qcache is not None else variables, x
+        )
+        got = art.predict(x) if not args.no_embed else (
+            art.call(variables, qcache, x) if qcache is not None
+            else art.call(variables, x)
+        )
+        err = float(jnp.max(jnp.abs(want - got)))
+        print(f"==> roundtrip check max|err| = {err:.3e}")
+
+
 def cmd_demo(args):
     """Op-level demo mirroring cspn_paddle/demo.py: random guidance/feature
     volumes through `prop_step` propagation steps, one optimization loop
@@ -412,6 +476,25 @@ def main(argv=None):
     p_inf.add_argument("--seed", type=int, default=0)
     p_inf.add_argument("--import-torch-checkpoint", default=None)
     p_inf.set_defaults(fn=cmd_infer)
+
+    p_exp = sub.add_parser(
+        "export",
+        help="serialize the serving graph + weights as one StableHLO artifact",
+    )
+    _add_common_overrides(p_exp)
+    p_exp.add_argument("--out", default="model.cspn", help="artifact path")
+    p_exp.add_argument("--batch", type=int, default=None,
+                       help="pin the batch dimension (default: symbolic -- "
+                            "one artifact serves any request size)")
+    p_exp.add_argument("--height", type=int, default=None)
+    p_exp.add_argument("--width", type=int, default=None,
+                       help="serving geometry; default = val-split geometry")
+    p_exp.add_argument("--no-embed", action="store_true",
+                       help="exclude weights (ship the checkpoint separately)")
+    p_exp.add_argument("--check", action="store_true",
+                       help="reload the artifact and verify output parity")
+    p_exp.add_argument("--import-torch-checkpoint", default=None)
+    p_exp.set_defaults(fn=cmd_export)
 
     p_demo = sub.add_parser("demo", help="2D/3D CSPN op demo (paddle demo.py)")
     p_demo.add_argument("--dim-num", type=int, default=3, choices=[2, 3])
