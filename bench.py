@@ -113,9 +113,10 @@ def bench_model(batch=128, repeats=8, steps=24):
 
 
 def bench_int8(batch=128, repeats=8):
-    """int8 serving fps (dynamic quantization, utils/quant.py).  Runs the
-    same chained-repeat protocol as bench_model; called in a child process
-    (see module docstring).  Returns fps or None off-TPU."""
+    """int8 serving fps (load-time weight qcache + calibrated static
+    activation scales, utils/quant.py).  Runs the same chained-repeat
+    protocol as bench_model; called in a child process (see module
+    docstring).  Returns fps or None off-TPU."""
     import jax
     import jax.numpy as jnp
 
@@ -130,11 +131,14 @@ def bench_int8(batch=128, repeats=8):
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), x[:1])
     jax.block_until_ready(variables)
     v = cast_floating(variables, jnp.bfloat16)
-    # serving config: weights pre-quantized ONCE at load (utils/quant.py);
-    # only activations quantize per call
-    from cspn_tpu.utils.quant import build_weight_qcache
+    # serving config: weights pre-quantized ONCE at load (utils/quant.py)
+    # and activation scales calibrated ONCE at load (static int8 scales --
+    # removes the per-call abs-max reduce pass over every quantized conv
+    # input; metric-gated on the trained checkpoint, result/int8_eval.json)
+    from cspn_tpu.utils.quant import build_act_calibration, build_weight_qcache
 
     v = {**v, "qcache": build_weight_qcache(model, v, x[:1])}
+    v = {**v, "acal": build_act_calibration(model, v, [x[:32]])}
     fn = _make_repeated(model, v, repeats)
     t = _timed_repeat(fn, v, x, rng, repeats)
     log(f"int8: {t * 1e3:.2f} ms/batch{batch} -> {batch / t:.1f} frames/s")

@@ -43,6 +43,11 @@ def _add_common_overrides(p: argparse.ArgumentParser):
                    choices=["auto", "pallas", "reference"])
     p.add_argument("--dtype", default=None,
                    choices=["float32", "bfloat16", "int8"])
+    p.add_argument("--act-static", dest="act_static", action="store_true",
+                   help="int8 serving: calibrate static activation scales "
+                        "at load (removes the per-call abs-max reduce over "
+                        "every quantized conv input; metric-gated in "
+                        "result/int8_eval.json)")
     p.add_argument("--cspn-io-dtype", dest="cspn_io_dtype", default=None,
                    choices=["float32", "bfloat16"],
                    help="HBM I/O dtype of the fused CSPN kernel (bfloat16 "
@@ -123,6 +128,8 @@ def _build_config(args):
             setattr(obj, dst, v)
     if args.no_cspn:
         model.use_cspn = False
+    if getattr(args, "act_static", False):
+        model.act_static = True
     cfg = dataclasses.replace(cfg, model=model, data=data, optim=optim)
     if args.save_dir:
         cfg = dataclasses.replace(cfg, save_dir=args.save_dir)

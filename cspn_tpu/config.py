@@ -27,6 +27,11 @@ class ModelConfig:
     #   | 'int8' (serving-only dynamic quantization of the conv stack)
     # modules kept high-precision under int8 serving (see CSPNUNet.quant_exclude)
     quant_exclude: tuple = ("gud_up_proj_layer4",)
+    # int8 serving: calibrate static per-site activation scales at load
+    # (utils/quant.build_act_calibration) instead of per-call dynamic
+    # abs-max -- removes a reduce pass over every quantized conv's input
+    # (measured 1525 -> 1628 frames/s at b128)
+    act_static: bool = False
     # opt-in HBM I/O dtype for the fused CSPN kernel ('bfloat16' halves the
     # kernel's gate/depth read traffic; arithmetic stays f32)
     cspn_io_dtype: str | None = None

@@ -132,9 +132,11 @@ class SubpixelUnpoolConv(nn.Module):
         if self.quant:
             from cspn_tpu.utils.quant import (
                 int8_conv_prequant,
+                module_act_scale,
                 module_qcache,
                 module_weight_qcache,
                 quantize_tensor,
+                quantize_tensor_static,
                 quantize_weights,
             )
 
@@ -157,7 +159,12 @@ class SubpixelUnpoolConv(nn.Module):
                         for py2 in range(2)
                     ),
                 )
-                xq, xs = quantize_tensor(x)
+                x_scale = module_act_scale(self, x)
+                xq, xs = (
+                    quantize_tensor(x)
+                    if x_scale is None
+                    else quantize_tensor_static(x, x_scale)
+                )
                 parts = []
                 idx = 0
                 for px2 in range(2):
@@ -186,7 +193,8 @@ class SubpixelUnpoolConv(nn.Module):
                     self, lambda: _subpixel_weights(w, k)
                 )
                 y = int8_conv_prequant(x, wq, ws, (1, 1), (pad, pad),
-                                       out_dtype=out_dtype)
+                                       out_dtype=out_dtype,
+                                       x_scale=module_act_scale(self, x))
             return depth_to_space2(y, self.oheight, self.owidth)
         if self.dtype is not None:
             # cast BEFORE the reindex: the reindex is pure data movement, so

@@ -19,7 +19,9 @@ split point is the ``int8_from`` knob (default 8).
 
 This is the TPU-native completion of the int8 serving story: b1 latency is
 the bf16 number (2.8 ms) while saturated-batch throughput keeps the int8
-number (1530 frames/s), from one checkpoint, behind one ``predict()``.
+number (1530 frames/s dynamic, 1628 with load-time-calibrated static
+activation scales -- ``load_server(act_static=True)``), from one
+checkpoint, behind one ``predict()``.
 """
 
 from __future__ import annotations
@@ -76,6 +78,7 @@ class DepthServer:
         variables: dict,
         model_int8=None,
         qcache=None,
+        acal=None,
         buckets: tuple[int, ...] = (1, 8, 32, 128),
         int8_from: int | None = 8,
     ):
@@ -87,13 +90,19 @@ class DepthServer:
         self.int8_from = int8_from
         self._variables = variables
         self._qcache = qcache
+        # int8 serving collections: the weight cache plus (when calibrated,
+        # utils/quant.build_act_calibration) static activation scales
+        self._extra_int8 = dict(
+            {"qcache": qcache} if qcache is not None else {},
+            **({"acal": acal} if acal is not None else {}),
+        )
         # params passed as jit args (not closures) so weights stay device
         # buffers instead of being baked into the executable as constants
         self._apply_bf16 = jax.jit(
             lambda v, x: model_bf16.apply(v, x), donate_argnums=()
         )
         self._apply_int8 = (
-            jax.jit(lambda v, q, x: model_int8.apply(dict(v, qcache=q), x))
+            jax.jit(lambda v, e, x: model_int8.apply(dict(v, **e), x))
             if model_int8 is not None
             else None
         )
@@ -116,7 +125,7 @@ class DepthServer:
         path = self.path_for(x.shape[0])
         self.served[path] += x.shape[0] if n_real is None else n_real
         if path == "int8":
-            return self._apply_int8(self._variables, self._qcache, x)
+            return self._apply_int8(self._variables, self._extra_int8, x)
         return self._apply_bf16(self._variables, x)
 
     def predict(self, rgbd: np.ndarray | jnp.ndarray) -> np.ndarray:
@@ -159,18 +168,24 @@ def load_server(
     torch_checkpoint: str | None = None,
     buckets: tuple[int, ...] = (1, 8, 32, 128),
     int8_from: int | None = 8,
+    act_static: bool | None = None,
 ) -> DepthServer:
     """Build a DepthServer from a checkpoint: loads once, casts params to
-    bf16, builds the int8 variant + weight-quant cache when any bucket can
-    route to int8."""
+    bf16, builds the int8 variant + weight-quant cache (+ calibrated
+    static activation scales when `act_static`, default = cfg.model
+    setting) when any bucket can route to int8."""
     from cspn_tpu.train.evaluate import load_eval_state
     from cspn_tpu.train.loop import build_model
 
     want_int8 = int8_from is not None and any(b >= int8_from for b in buckets)
+    if act_static is None:
+        act_static = getattr(cfg.model, "act_static", False)
     base = dataclasses.replace(
         cfg,
         model=dataclasses.replace(
-            cfg.model, dtype="int8" if want_int8 else "bfloat16"
+            cfg.model,
+            dtype="int8" if want_int8 else "bfloat16",
+            act_static=act_static and want_int8,
         ),
     )
     # load_eval_state casts params/batch_stats to bf16 and (under int8)
@@ -187,6 +202,7 @@ def load_server(
         variables,
         model_int8=model_int8,
         qcache=extra.get("qcache") if want_int8 else None,
+        acal=extra.get("acal") if want_int8 else None,
         buckets=buckets,
         int8_from=int8_from,
     )

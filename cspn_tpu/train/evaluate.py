@@ -46,6 +46,12 @@ def load_eval_state(
     ds = build_dataset(cfg, "val", seed=0)
     sample = ds[0]
     x = jnp.asarray(sample["rgbd"][None])
+    calib_x = None
+    if cfg.model.dtype == "int8" and getattr(cfg.model, "act_static", False):
+        # activation-scale calibration inputs: a handful of val frames
+        calib_x = jnp.asarray(
+            np.stack([ds[i]["rgbd"] for i in range(min(8, len(ds)))])
+        )
     state = create_train_state(build_model(cfg, train=True), jax.random.PRNGKey(0), x)
     if torch_checkpoint:
         from cspn_tpu.models.torch_import import load_torch_cspn_checkpoint
@@ -57,7 +63,7 @@ def load_eval_state(
             batch_stats=partial_restore(state.batch_stats, s_tree),
         )
         print(f"==> imported reference torch checkpoint {torch_checkpoint}")
-        return model, state, _serving_extra_vars(cfg, model, state, x)
+        return model, state, _serving_extra_vars(cfg, model, state, x, calib_x)
     ckpt = ckpt_lib.CheckpointManager(cfg.best_model_dir)
     if ckpt.has(checkpoint):
         tree = ckpt_lib.state_to_tree(state, 0, float("inf"), cfg.optim.lr)
@@ -78,22 +84,27 @@ def load_eval_state(
             params=cast_floating(state.params),
             batch_stats=cast_floating(state.batch_stats),
         )
-    return model, state, _serving_extra_vars(cfg, model, state, x)
+    return model, state, _serving_extra_vars(cfg, model, state, x, calib_x)
 
 
-def _serving_extra_vars(cfg, model, state, sample_x) -> dict:
-    """Derived-at-load serving collections: the int8 weight cache."""
+def _serving_extra_vars(cfg, model, state, sample_x, calib_x=None) -> dict:
+    """Derived-at-load serving collections: the int8 weight cache, plus
+    (opt-in via cfg.model.act_static) calibrated static activation scales."""
     if cfg.model.dtype != "int8":
         return {}
-    from cspn_tpu.utils.quant import build_weight_qcache
+    from cspn_tpu.utils.quant import build_act_calibration, build_weight_qcache
 
-    qcache = build_weight_qcache(
-        model,
-        {"params": state.params, "batch_stats": state.batch_stats},
-        sample_x,
-    )
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    extra = {"qcache": build_weight_qcache(model, variables, sample_x)}
     print("==> cached int8 weight quantization (per-output-channel, load-time)")
-    return {"qcache": qcache}
+    if getattr(cfg.model, "act_static", False):
+        extra["acal"] = build_act_calibration(
+            model,
+            dict(variables, qcache=extra["qcache"]),
+            [calib_x if calib_x is not None else sample_x],
+        )
+        print("==> calibrated static int8 activation scales (load-time)")
+    return extra
 
 
 def run_eval(

@@ -10,7 +10,9 @@ Scheme (standard post-training dynamic quantization):
   - weights: symmetric per-output-channel int8, scale = max|w| / 127 over
     (kh, kw, cin);
   - activations: symmetric per-tensor *dynamic* int8 (abs-max of the batch
-    tensor, computed on device each call — no calibration data needed);
+    tensor, computed on device each call — no calibration data needed), or
+    *static* per-site scales from an offline calibration pass
+    (build_act_calibration) which removes the per-call reduce;
   - conv accumulates in int32 (exact), dequantized as y * (x_scale * w_scale)
     with the per-channel weight scale broadcast over the channel dim.
 
@@ -47,6 +49,16 @@ def quantize_tensor(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return q.astype(jnp.int8), scale
 
 
+def quantize_tensor_static(
+    x: jnp.ndarray, scale: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric int8 with a precomputed (calibrated) scale: pure
+    elementwise round/clip -- no abs-max reduce pass over the tensor.
+    Activations beyond the calibrated range saturate at +/-127."""
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
 def quantize_weights(w: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Symmetric per-output-channel int8 for an HWIO kernel.
 
@@ -64,11 +76,16 @@ def int8_conv_prequant(
     strides: tuple[int, int],
     padding,
     out_dtype=jnp.float32,
+    x_scale: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """int8 NHWC conv with already-quantized weights (wq int8, ws[cout]):
-    quantize x (dynamic, per tensor/sample), s8 x s8 -> s32 on the MXU,
-    dequantize to `out_dtype`."""
-    xq, xs = quantize_tensor(x)
+    quantize x (dynamic, per tensor/sample, or static when `x_scale` is a
+    calibrated scale), s8 x s8 -> s32 on the MXU, dequantize to
+    `out_dtype`."""
+    if x_scale is None:
+        xq, xs = quantize_tensor(x)
+    else:
+        xq, xs = quantize_tensor_static(x, x_scale)
     y = lax.conv_general_dilated(
         xq,
         wq,
@@ -117,6 +134,59 @@ def module_weight_qcache(module: nn.Module, make_weights):
     return module_qcache(module, lambda: quantize_weights(make_weights()))
 
 
+ACAL_COL = "acal"
+
+
+def module_act_scale(module: nn.Module, x):
+    """Static activation scale for this conv site from the optional 'acal'
+    collection (see build_act_calibration).
+
+    Serving with calibration (acal supplied, immutable): returns the
+    static scale, making activation quantize pure elementwise -- no
+    per-call abs-max reduce pass over the input tensor.  During a
+    calibration apply (mutable 'acal'): records the running abs-max of x
+    at this site and returns None (the calibration pass itself quantizes
+    dynamically).  Without calibration: returns None (dynamic scales).
+    """
+    recording = (
+        module.scope is not None
+        and module.scope.is_mutable_collection(ACAL_COL)
+        and not module.is_initializing()
+    )
+    if recording:
+        amax = jnp.max(jnp.abs(x)).astype(jnp.float32)
+        var = module.variable(ACAL_COL, "xmax", lambda: amax)
+        var.value = jnp.maximum(var.value, amax)
+        return None
+    if module.has_variable(ACAL_COL, "xmax"):
+        xmax = module.get_variable(ACAL_COL, "xmax")
+        return jnp.maximum(xmax, 1e-12) / 127.0
+    return None
+
+
+def build_act_calibration(model, variables, batches):
+    """Calibrate static per-site activation scales: run `batches` through
+    the serving graph recording each quantized conv's input abs-max;
+    returns the 'acal' collection to merge into the serving variables
+    alongside 'qcache'.
+
+    Standard PTQ calibration: trades the per-call abs-max reduce over
+    every quantized conv's input (an extra HBM read pass per conv) for
+    saturating quantization outside the calibrated range.  Check metric
+    deltas on a trained checkpoint before serving with it
+    (scripts/int8_bench.py)."""
+    import jax
+
+    step = jax.jit(lambda v, x: model.apply(v, x, mutable=[ACAL_COL])[1][ACAL_COL])
+    acal = None
+    for xb in batches:
+        vs = dict(variables, **({ACAL_COL: acal} if acal is not None else {}))
+        acal = step(vs, xb)
+    if acal is None:
+        raise ValueError("calibration needs at least one batch")
+    return acal
+
+
 class QuantConv(nn.Module):
     """Drop-in replacement for the models' bias-free `nn.Conv`: identical
     parameter ('kernel', HWIO, float32, he_normal), int8 execution.
@@ -132,6 +202,11 @@ class QuantConv(nn.Module):
         from it and only the activations quantize dynamically.  Params are
         untouched either way -- the cache is a separate, optional,
         derived-at-load collection, so checkpoints stay interchangeable.
+
+    Activation quantization is dynamic (per-sample abs-max each call) by
+    default, or static when an 'acal' collection of calibrated scales is
+    supplied (build_act_calibration) -- which removes the per-call reduce
+    pass over every conv input.
     """
 
     features: int
@@ -153,7 +228,10 @@ class QuantConv(nn.Module):
         padding = ((pad, pad), (pad, pad))
         out_dtype = self.dtype or x.dtype
         wq, ws = module_weight_qcache(self, lambda: w)
-        return int8_conv_prequant(x, wq, ws, strides, padding, out_dtype)
+        return int8_conv_prequant(
+            x, wq, ws, strides, padding, out_dtype,
+            x_scale=module_act_scale(self, x),
+        )
 
 
 def build_weight_qcache(model, variables, sample_x):

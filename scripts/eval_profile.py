@@ -44,8 +44,14 @@ def main():
     x = jnp.asarray(rng.standard_normal((b, h, w, 4)), jnp.float32)
 
     v = jax.jit(model.init)(jax.random.PRNGKey(0), x[:1])
-    if args.dtype in ("bfloat16", "bf16"):
+    if args.dtype in ("bfloat16", "bf16", "int8"):
         v = cast_floating(v, jnp.bfloat16)
+    if args.dtype == "int8":
+        # serving config: weights pre-quantized once at load (the bench.py
+        # headline path); only activations quantize per call
+        from cspn_tpu.utils.quant import build_weight_qcache
+
+        v = {**v, "qcache": build_weight_qcache(model, v, x[:1])}
 
     @jax.jit
     def apply(v, x):

@@ -44,21 +44,24 @@ def bench_fps(batch: int, repeats: int = 8) -> dict:
     x = jnp.asarray(rng.standard_normal((batch, 228, 304, 4)), jnp.float32)
     results = {}
     variables = None
-    for mode in ("bf16", "int8"):
+    for mode in ("bf16", "int8", "int8_static"):
         model = cspn_unet_resnet50(
             cspn_backend="auto",
             dtype=jnp.bfloat16,
-            quant=mode == "int8",
+            quant=mode != "bf16",
         )
         if variables is None:
             variables = jax.jit(model.init)(jax.random.PRNGKey(0), x[:1])
             jax.block_until_ready(variables)
         v = cast_floating(variables, jnp.bfloat16)
-        if mode == "int8":
+        if mode != "bf16":
             # serving config: weights pre-quantized once at load
-            from cspn_tpu.utils.quant import build_weight_qcache
+            from cspn_tpu.utils.quant import build_act_calibration, build_weight_qcache
 
             v = {**v, "qcache": build_weight_qcache(model, v, x[:1])}
+            if mode == "int8_static":
+                # load-time activation-scale calibration (one sample batch)
+                v = {**v, "acal": build_act_calibration(model, v, [x[:32]])}
         fn = _make_repeated(model, v, repeats)
         t = _timed_repeat(fn, v, x, rng, repeats)
         results[mode] = batch / t
@@ -83,17 +86,19 @@ def metric_deltas(runs: int = 5) -> dict:
 
     base = PRESETS["synthetic_smoke"]
     variants = {
-        "bfloat16": ("bfloat16", ("gud_up_proj_layer4",)),
-        "int8": ("int8", ("gud_up_proj_layer4",)),
-        "int8_all": ("int8", ()),
+        "bfloat16": ("bfloat16", ("gud_up_proj_layer4",), False),
+        "int8": ("int8", ("gud_up_proj_layer4",), False),
+        "int8_static": ("int8", ("gud_up_proj_layer4",), True),
+        "int8_all": ("int8", (), False),
     }
     out = {}
     per_run = {}
-    for name, (mode, excl) in variants.items():
+    for name, (mode, excl, act_static) in variants.items():
         cfg = dataclasses.replace(
             base,
             model=dataclasses.replace(base.model, dtype=mode,
-                                      quant_exclude=excl),
+                                      quant_exclude=excl,
+                                      act_static=act_static),
         )
         r = run_eval(cfg, runs=runs)
         out[name] = {k: round(float(v), 5) for k, v in r["mean"].items()}
@@ -102,7 +107,7 @@ def metric_deltas(runs: int = 5) -> dict:
     deltas = {}
     import numpy as _np
 
-    for name in ("int8", "int8_all"):
+    for name in ("int8", "int8_static", "int8_all"):
         d = {}
         for k in out["bfloat16"]:
             pair = [per_run[name][i][k] - per_run["bfloat16"][i][k]
@@ -131,9 +136,10 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     rec = {
-        "what": "int8 dynamic-quantized serving vs bf16: flagship eval "
-                "throughput + metric deltas on the trained synthetic_smoke "
-                "checkpoint (serving-quality gate for utils/quant.py)",
+        "what": "int8 serving (dynamic + static activation scales) vs bf16: "
+                "flagship eval throughput + metric deltas on the trained "
+                "synthetic_smoke checkpoint (serving-quality gate for "
+                "utils/quant.py)",
         "platform": jax.devices()[0].platform,
     }
     if not args.skip_fps:
@@ -142,7 +148,9 @@ def main():
         rec["flagship_b%d" % args.batch] = {
             "bf16_frames_per_s": round(fps["bf16"], 1),
             "int8_frames_per_s": round(fps["int8"], 1),
+            "int8_static_frames_per_s": round(fps["int8_static"], 1),
             "speedup": round(fps["int8"] / fps["bf16"], 3),
+            "speedup_static": round(fps["int8_static"] / fps["bf16"], 3),
         }
         log(f"fps bench took {time.time() - t0:.0f}s")
     if not args.skip_metrics:

@@ -217,3 +217,97 @@ def test_build_model_int8_plumbing():
     assert m_eval.quant and m_eval.dtype == jnp.bfloat16
     m_train = build_model(cfg, train=True)  # init/train path stays float
     assert not m_train.quant
+
+
+# -- static (calibrated) activation scales ----------------------------------
+
+
+@pytest.fixture(scope="module")
+def calibrated():
+    """Quant model + qcache + acal calibrated on the fixture input."""
+    from cspn_tpu.utils.quant import build_act_calibration, build_weight_qcache
+
+    x = jnp.asarray(
+        np.random.default_rng(7).standard_normal((1, 64, 96, 4)), jnp.float32
+    )
+    m = cspn_unet_resnet18(cspn_steps=2, cspn_backend="reference", quant=True)
+    v = m.init(jax.random.PRNGKey(0), x)
+    qc = build_weight_qcache(m, v, x)
+    acal = build_act_calibration(m, dict(v, qcache=qc), [x])
+    return m, v, qc, acal, x
+
+
+def test_act_static_b1_identical_to_dynamic_on_calibration_input(calibrated):
+    # for a single-sample batch the dynamic per-sample scale IS the global
+    # abs-max the calibration recorded, so static serving of the
+    # calibration input must be bit-identical to dynamic serving
+    m, v, qc, acal, x = calibrated
+    y_dyn = m.apply(dict(v, qcache=qc), x)
+    y_sta = m.apply(dict(v, qcache=qc, acal=acal), x)
+    assert bool(jnp.all(y_dyn == y_sta))
+
+
+def test_act_static_removes_activation_reduce_from_serving_graph(calibrated):
+    # dynamic activation quantization runs an abs-max reduce pass over
+    # every quantized conv input; with calibrated scales those reduces
+    # vanish from the lowered serving graph (the remaining few are the
+    # model's own, e.g. CSPN gate normalization)
+    m, v, qc, acal, x = calibrated
+
+    def n_reduces(vv):
+        txt = jax.jit(lambda v_, x_: m.apply(v_, x_)).lower(vv, x).as_text()
+        return txt.count("stablehlo.reduce")
+
+    dyn = n_reduces(dict(v, qcache=qc))
+    sta = n_reduces(dict(v, qcache=qc, acal=acal))
+    assert sta <= 5 < dyn, (dyn, sta)
+
+
+def test_act_calibration_running_max_and_saturation(calibrated):
+    from cspn_tpu.utils.quant import build_act_calibration
+
+    m, v, qc, acal, x = calibrated
+    # running max over batches: recalibrating with an extra, hotter batch
+    # can only raise per-site maxima
+    acal2 = build_act_calibration(m, dict(v, qcache=qc), [x, x * 2])
+    pairs = zip(jax.tree.leaves(acal), jax.tree.leaves(acal2))
+    assert all(bool(b >= a) for a, b in pairs)
+    # out-of-range serving inputs saturate (clip at +-127) but stay finite
+    y_hot = m.apply(dict(v, qcache=qc, acal=acal), x * 50)
+    assert bool(jnp.isfinite(y_hot).all())
+
+
+def test_act_static_error_vs_float_comparable_to_dynamic(calibrated):
+    # static quantization error against the float model stays within 2x of
+    # the dynamic error on a batch the calibration has not seen
+    m, v, qc, acal, x = calibrated
+    xb = jnp.asarray(
+        np.random.default_rng(8).standard_normal((2, 64, 96, 4)) * 0.9,
+        jnp.float32,
+    )
+    fm = cspn_unet_resnet18(cspn_steps=2, cspn_backend="reference")
+    y_f = fm.apply(v, xb)
+    e_dyn = float(jnp.sqrt(jnp.mean((m.apply(dict(v, qcache=qc), xb) - y_f) ** 2)))
+    e_sta = float(
+        jnp.sqrt(jnp.mean((m.apply(dict(v, qcache=qc, acal=acal), xb) - y_f) ** 2))
+    )
+    assert e_sta <= 2.0 * e_dyn + 1e-6, (e_dyn, e_sta)
+
+
+def test_load_eval_state_builds_acal(tmp_path):
+    import dataclasses
+
+    from cspn_tpu.config import PRESETS
+    from cspn_tpu.train.evaluate import load_eval_state
+
+    base = PRESETS["synthetic_smoke"]
+    cfg = dataclasses.replace(
+        base,
+        model=dataclasses.replace(
+            base.model, dtype="int8", act_static=True, cspn_steps=2
+        ),
+        best_model_dir=str(tmp_path),
+    )
+    model, state, extra = load_eval_state(cfg)
+    assert "qcache" in extra and "acal" in extra
+    assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(extra["acal"]))

@@ -155,3 +155,39 @@ def test_load_server_synthetic(tmp_path):
     out = srv.predict(np.zeros((3, 64, 96, 4), np.float32))
     assert out.shape == (3, 64, 96) and np.isfinite(out).all()
     assert srv.served == {"bf16": 1, "int8": 2}
+
+
+def test_int8_static_bucket_equals_direct_static_apply(tiny_serving, rng):
+    # a server built with calibrated activation scales serves the int8
+    # bucket exactly as a direct static-quant apply
+    from cspn_tpu.utils.quant import build_act_calibration
+
+    model, qmodel, variables, qcache = tiny_serving
+    x = jnp.asarray(rng.standard_normal((2, 64, 96, 4)), jnp.float32)
+    acal = build_act_calibration(qmodel, dict(variables, qcache=qcache), [x])
+    srv = DepthServer(
+        model, variables, model_int8=qmodel, qcache=qcache, acal=acal,
+        buckets=(2,), int8_from=2,
+    )
+    want = qmodel.apply(dict(variables, qcache=qcache, acal=acal), x)
+    # jit-vs-eager reduction order flips a few ulp (CLAUDE.md); same
+    # tolerance as the dynamic-path test above
+    np.testing.assert_allclose(
+        np.asarray(srv.predict(x)), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+    assert srv.served == {"bf16": 0, "int8": 2}
+
+
+def test_load_server_act_static(tmp_path):
+    from cspn_tpu.config import PRESETS
+
+    cfg = PRESETS["synthetic_smoke"]
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, cspn_steps=2),
+        best_model_dir=str(tmp_path),
+    )
+    srv = load_server(cfg, buckets=(1, 2), int8_from=2, act_static=True)
+    assert "acal" in srv._extra_int8
+    out = srv.predict(np.zeros((2, 64, 96, 4), np.float32))
+    assert out.shape == (2, 64, 96) and np.isfinite(out).all()
