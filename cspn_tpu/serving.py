@@ -11,11 +11,15 @@ are identical to serving the exact batch (pinned by tests/test_serving.py).
 
 Each bucket serves on the faster numeric path *for that size*.  The
 measured v5e crossover (result/latency_bench.json) has dynamic-int8 convs
-LOSING to bf16 below ~b8 -- 12.8 ms vs 2.8 ms at b1, an s8-conv MXU
-utilization effect at tiny batch, NOT re-quantization (the weight quant is
-cached at load, utils/quant.build_weight_qcache) -- and winning ~1.27x from
-b8-b32 up.  So small buckets route to bf16 and large buckets to int8; the
-split point is the ``int8_from`` knob (default 8).
+LOSING to bf16 below ~b8 -- 11.4 ms vs 2.8 ms at b1, the per-call
+activation-quant chain (abs-max reduce + round per conv, serial at tiny
+batch; weight quant is already cached at load,
+utils/quant.build_weight_qcache) -- and winning ~1.3x from b8-b32 up.  So
+small buckets route to bf16 and large buckets to int8; the split point is
+the ``int8_from`` knob (default 8).  With load-time-calibrated static
+activation scales (``load_server(act_static=True)``) the int8 path TIES
+bf16 at b1 (2.81 vs 2.83 ms) and beats it everywhere else; the bf16 b1
+bucket then only hedges against out-of-calibration saturation.
 
 This is the TPU-native completion of the int8 serving story: b1 latency is
 the bf16 number (2.8 ms) while saturated-batch throughput keeps the int8

@@ -68,9 +68,12 @@ def main():
                     "protocol hoists loop-invariant quantize ops, so "
                     "dynamic-vs-cached rows time identically here; the "
                     "serving-graph difference is pinned in HLO "
-                    "(tests/test_quant.py). The remaining int8 b1 gap is "
-                    "s8 conv MXU utilization at tiny batch (int8 wins "
-                    "from ~b8 up).",
+                    "(tests/test_quant.py). The DYNAMIC int8 b1 gap "
+                    "(11.4 vs 2.8 ms) is the per-call activation-quant "
+                    "chain (abs-max reduce + round per conv, serial at "
+                    "tiny batch): int8_static rows serve with load-time "
+                    "calibrated activation scales (--act-static) and tie "
+                    "bf16 at b1 while beating it from b8 up.",
             "platform": jax.devices()[0].platform,
             "model": "cspn_unet_resnet50, 24-step CSPN, 228x304",
             **extras,
@@ -84,7 +87,9 @@ def main():
     rng = np.random.default_rng(0)
     rows = []
     extras = {}
-    for quant in (False, True):
+    cache = acal = None
+    for mode in ("bf16", "int8", "int8_static"):
+        quant = mode != "bf16"
         model = cspn_unet_resnet50(
             cspn_backend="auto", dtype=jnp.bfloat16, quant=quant
         )
@@ -99,16 +104,29 @@ def main():
             # one-off at checkpoint load, not a per-request cost).
             import time as _time
 
-            cache = build_weight_qcache(model, v, x1)
+            if cache is None:
+                cache = build_weight_qcache(model, v, x1)
             jax.block_until_ready(cache)
-            ts = []
-            for _ in range(5):
-                t0 = _time.time()
-                jax.block_until_ready(build_weight_qcache(model, v, x1))
-                ts.append(_time.time() - t0)
-            extras["qcache_build_ms"] = round(float(np.median(ts)) * 1e3, 2)
-            print({"qcache_build_ms": extras["qcache_build_ms"]}, flush=True)
+            if "qcache_build_ms" not in extras:
+                ts = []
+                for _ in range(5):
+                    t0 = _time.time()
+                    jax.block_until_ready(build_weight_qcache(model, v, x1))
+                    ts.append(_time.time() - t0)
+                extras["qcache_build_ms"] = round(float(np.median(ts)) * 1e3, 2)
+                print({"qcache_build_ms": extras["qcache_build_ms"]}, flush=True)
             v = {**v, "qcache": cache}
+            if mode == "int8_static":
+                # load-time activation-scale calibration (one 8-frame batch)
+                from cspn_tpu.utils.quant import build_act_calibration
+
+                if acal is None:
+                    acal = build_act_calibration(
+                        model, v,
+                        [jnp.asarray(rng.standard_normal((8, 228, 304, 4)),
+                                     jnp.float32)],
+                    )
+                v = {**v, "acal": acal}
         for batch in (1, 8, 32):
             x = jnp.asarray(
                 rng.standard_normal((batch, 228, 304, 4)), jnp.float32
@@ -116,7 +134,7 @@ def main():
             fn = _make_repeated(model, v, args.repeats)
             t = _timed_repeat(fn, v, x, rng, args.repeats, trials=args.trials)
             rec = {
-                "path": "int8" if quant else "bf16",
+                "path": mode,
                 "batch": batch,
                 "latency_ms": round(t * 1e3, 3),
                 "frames_per_s": round(batch / t, 1),
@@ -133,11 +151,15 @@ def main():
     # one predict call = one tunnel RPC (~30 ms) which would swamp a 2.8 ms
     # step.  Record whether the measured winner agrees with the policy.
     by = {(r["path"], r["batch"]): r for r in rows}
+    paths = tuple(dict.fromkeys(r["path"] for r in rows))
     hybrid = []
     for batch in (1, 8, 32):
-        policy_path = "int8" if batch >= 8 else "bf16"
+        policy_path = (
+            "bf16" if batch < 8
+            else ("int8_static" if ("int8_static", batch) in by else "int8")
+        )
         measured_best = min(
-            ("bf16", "int8"), key=lambda p: by[(p, batch)]["latency_ms"]
+            paths, key=lambda p: by[(p, batch)]["latency_ms"]
         )
         hybrid.append(
             {
